@@ -1,0 +1,33 @@
+"""Test configuration.
+
+Tests run on CPU with a virtual 8-device mesh so multi-chip sharding logic is
+exercised without TPU hardware (SURVEY.md section 4: multi-chip behavior is
+validated with ``--xla_force_host_platform_device_count``). f64 is enabled so
+parity tests can score windows in double precision exactly like the OpenCV
+oracle (``tempcv.cpp:796`` accumulates in double).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+REFERENCE_CASCADE_DIR = "/root/reference/CLFaceDetection"
+if os.path.isdir(REFERENCE_CASCADE_DIR):
+    os.environ.setdefault("CLFD_CASCADE_DIR", REFERENCE_CASCADE_DIR)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    import numpy as np
+    return np.random.default_rng(1234)
