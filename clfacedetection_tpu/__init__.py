@@ -12,5 +12,9 @@ shapes, masked dense evaluation, mesh data-parallelism over frames).
 __version__ = "0.1.0"
 
 from .models import CascadeSpec, load_cascade, CASCADE_NAMES
+from .api import CascadeClassifier, detect_objects, WeightedRect
 
-__all__ = ["CascadeSpec", "load_cascade", "CASCADE_NAMES", "__version__"]
+__all__ = [
+    "CascadeSpec", "load_cascade", "CASCADE_NAMES",
+    "CascadeClassifier", "detect_objects", "WeightedRect", "__version__",
+]

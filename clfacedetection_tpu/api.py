@@ -1,0 +1,175 @@
+"""Public detection API.
+
+Two surfaces, mirroring the reference's two API layers:
+
+* ``CascadeClassifier`` — the OpenCV-style object API
+  (``cvHaarDetectObjects`` parameter surface: scaleFactor, minNeighbors,
+  flags, minSize, maxSize; tempcv.hpp:141-154).
+* ``detect_objects`` — the reference's own C API
+  (``clodDetectObjects(image, cascade, data, min_window_size,
+  max_window_size, min_neighbors, flags, use_opencl)`` -> matches+count,
+  clod.h:61-81), with the ``clod_flags`` execution-strategy bitmask
+  (clod.h:17-21) mapped onto this framework's execution knobs.
+
+Unlike the reference, which hardcodes paths and rebuilds device state per
+call (main.cpp:10,36; clod.cpp:1176-1338), detectors here are compiled
+per (cascade, image-shape, parameter) signature and cached, so steady-state
+calls are a single device dispatch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from .detect.detector import DetectionResult, ScaleCascadeDetector
+from .models.spec import CascadeSpec
+from .models.zoo import load_cascade
+from .ops.integral import bgr_to_gray
+
+__all__ = [
+    "CascadeClassifier", "detect_objects", "WeightedRect",
+    "CLOD_PRECOMPUTE_FEATURES", "CLOD_BLOCK_IMPLEMENTATION",
+    "CLOD_PER_STAGE_ITERATIONS",
+]
+
+# clod_flags (clod.h:17-21; NB the reference defines them as 2<<n).
+CLOD_PRECOMPUTE_FEATURES = 2 << 0
+CLOD_BLOCK_IMPLEMENTATION = 2 << 1
+CLOD_PER_STAGE_ITERATIONS = 2 << 2
+
+
+@dataclasses.dataclass(frozen=True)
+class WeightedRect:
+    """CLODWeightedRect (clod.h:39-47)."""
+
+    x: int
+    y: int
+    width: int
+    height: int
+    weight: int  # neighbor count after grouping (0 if ungrouped)
+
+
+def _to_gray(image: np.ndarray) -> np.ndarray:
+    image = np.asarray(image)
+    if image.ndim == 3 and image.shape[-1] == 3:
+        return np.asarray(bgr_to_gray(jnp.asarray(image)))
+    if image.ndim == 2:
+        return image.astype(np.uint8, copy=False)
+    raise ValueError(f"expected (H, W) gray or (H, W, 3) BGR, "
+                     f"got {image.shape}")
+
+
+class CascadeClassifier:
+    """OpenCV-compatible multi-scale detector over one cascade model.
+
+    >>> clf = CascadeClassifier("haarcascade_frontalface_alt")
+    >>> boxes = clf.detect_multi_scale(frame, scale_factor=1.1,
+    ...                                min_neighbors=3, min_size=(40, 40))
+    """
+
+    def __init__(self, cascade: Union[str, CascadeSpec],
+                 dtype=jnp.float32):
+        self.spec = (cascade if isinstance(cascade, CascadeSpec)
+                     else load_cascade(cascade))
+        self.dtype = dtype
+        self._detectors: Dict[tuple, ScaleCascadeDetector] = {}
+
+    @property
+    def original_window_size(self) -> Tuple[int, int]:
+        return (self.spec.window_w, self.spec.window_h)
+
+    def empty(self) -> bool:
+        return self.spec.n_stages == 0
+
+    def _detector(self, shape, scale_factor, min_size, max_size,
+                  **knobs) -> ScaleCascadeDetector:
+        key = (shape, float(scale_factor), tuple(min_size),
+               tuple(max_size) if max_size else None,
+               tuple(sorted(knobs.items())))
+        det = self._detectors.get(key)
+        if det is None:
+            det = ScaleCascadeDetector(
+                self.spec, shape, scale_factor=scale_factor,
+                min_size=tuple(min_size),
+                max_size=tuple(max_size) if max_size else None,
+                dtype=self.dtype, **knobs)
+            self._detectors[key] = det
+        return det
+
+    def detect_multi_scale(self, image,
+                           scale_factor: float = 1.1,
+                           min_neighbors: int = 3,
+                           flags: int = 0,
+                           min_size: Tuple[int, int] = (0, 0),
+                           max_size: Optional[Tuple[int, int]] = None,
+                           **knobs) -> np.ndarray:
+        """Detect objects; returns int32 boxes [n, 4] as (x, y, w, h)."""
+        res = self.detect_multi_scale_full(
+            image, scale_factor, min_neighbors, flags, min_size, max_size,
+            **knobs)
+        return res.boxes
+
+    def detect_multi_scale_full(self, image,
+                                scale_factor: float = 1.1,
+                                min_neighbors: int = 3,
+                                flags: int = 0,
+                                min_size: Tuple[int, int] = (0, 0),
+                                max_size: Optional[Tuple[int, int]] = None,
+                                **knobs) -> DetectionResult:
+        gray = _to_gray(image)
+        det = self._detector(gray.shape, scale_factor, min_size, max_size,
+                             **knobs)
+        return det.detect(gray, min_neighbors=min_neighbors)
+
+
+def detect_objects(image,
+                   cascade: Union[str, CascadeSpec],
+                   min_window_size: Optional[Tuple[int, int]] = None,
+                   max_window_size: Optional[Tuple[int, int]] = None,
+                   min_neighbors: int = 3,
+                   flags: int = (CLOD_PRECOMPUTE_FEATURES
+                                 | CLOD_PER_STAGE_ITERATIONS),
+                   scale_factor: float = 1.1,
+                   use_tpu: bool = True):
+    """clodDetectObjects-shaped entry point (clod.h:61-81).
+
+    Returns a list of :class:`WeightedRect` (the CLODDetectObjectsResult
+    matches array).  The ``clod_flags`` strategy bits selected between CPU
+    evaluation orders in the reference (window-major / stage-major /
+    unrolled-block, clod.cpp:1339-1500); on TPU the execution strategy is
+    uniformly "dense front + compacted tail", so the bits are accepted for
+    API parity and only influence the front/tail split:
+    ``CLOD_PER_STAGE_ITERATIONS`` widens the dense front (stage-major
+    flavor), its absence narrows it (window-major flavor).
+
+    ``use_tpu=False`` runs the NumPy golden implementation — the moral
+    equivalent of the reference's ``use_opencl=false`` CPU fallback
+    (clif.cpp:247-250, clod.cpp:1339-1500).
+    """
+    spec = cascade if isinstance(cascade, CascadeSpec) else \
+        load_cascade(cascade)
+    gray = _to_gray(image)
+    min_size = tuple(min_window_size) if min_window_size else (0, 0)
+
+    if not use_tpu:
+        from .detect.reference_impl import detect_multi_scale_reference
+        boxes = detect_multi_scale_reference(
+            gray, spec, scale_factor=scale_factor,
+            min_neighbors=min_neighbors, min_size=min_size,
+            max_size=max_window_size)
+        return [WeightedRect(int(x), int(y), int(w), int(h), 0)
+                for x, y, w, h in boxes]
+
+    front = 4 if (flags & CLOD_PER_STAGE_ITERATIONS) else 2
+    clf = CascadeClassifier(spec)
+    res = clf.detect_multi_scale_full(
+        gray, scale_factor=scale_factor, min_neighbors=min_neighbors,
+        min_size=min_size, max_size=max_window_size, front_stages=front)
+    neigh = res.neighbors if len(res.neighbors) else \
+        np.zeros(len(res.boxes), np.int32)
+    return [WeightedRect(int(x), int(y), int(w), int(h), int(n))
+            for (x, y, w, h), n in zip(res.boxes, neigh)]

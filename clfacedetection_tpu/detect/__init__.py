@@ -1,0 +1,9 @@
+from .detector import DetectionResult, ScaleCascadeDetector
+from .grouping import group_rectangles, partition_similar
+from .reference_impl import RefWindowEvaluator, detect_multi_scale_reference
+
+__all__ = [
+    "DetectionResult", "ScaleCascadeDetector",
+    "group_rectangles", "partition_similar",
+    "RefWindowEvaluator", "detect_multi_scale_reference",
+]

@@ -1,0 +1,564 @@
+"""TPU-native multi-scale Haar-cascade detector (scale-cascade mode).
+
+This is the framework's re-design of the reference's detection engine
+(``clodDetectObjects`` + its OpenCL kernel ``runStage``, clod.cpp:1176-1500,
+clod.cl:32-93) and of OpenCV's ``cvHaarDetectObjectsForROC`` scale-cascade
+driver (tempcv.cpp:1330-1456).  Where the reference crosses the host<->device
+boundary >1,000 times per frame (a write + sync per stage per scale,
+SURVEY.md section 3.3), here the *entire* multi-scale detection is ONE
+compiled XLA program:
+
+    integral images -> lax.scan over pyramid scales ->
+        dense front-stage evaluation        (shifted dynamic slices; VPU)
+     -> fixed-size survivor compaction      (replaces atom_inc worklists,
+                                             clod.cl:85-91, with static shapes)
+     -> chunked tail-stage evaluation       (gathers over survivors)
+     -> visit-set computation               (associative scan; reproduces the
+                                             reference's skip-by-2 rule)
+     -> per-scale padded survivor buffers
+
+Key TPU-first choices (SURVEY.md sections 2.3 and 7):
+
+* **No per-window control flow.**  The reference early-exits each window as
+  soon as a stage fails (clod.cpp:736-787).  Dense masked evaluation of a
+  *static* front-stage prefix plays that role: >95% of windows die there,
+  and only compacted survivors pay for the remaining stages.
+* **Dense front stages use slices, not gathers.**  A Haar rect sum at every
+  window position simultaneously is 4 shifted copies of the integral image
+  (``I[dy:dy+H, dx:dx+W]``) — pure vector adds with no index
+  materialization.  Per-scale corner offsets arrive as traced scalars
+  through ``lax.scan``, so one compiled program serves every pyramid level.
+* **Worklists become fixed-size compaction.**  The reference ping-pongs
+  atomically-appended survivor lists between stages (clod.cpp:1288-1299).
+  Here one ``nonzero(size=CAP)`` compaction after the front prefix gives a
+  static-shape survivor buffer; overflow is detected and reported.
+* **Sequential scan semantics become an associative scan.**  The reference
+  scanner advances x by 2 after a stage-0 reject (``ixstep = result != 0 ?
+  1 : 2``, tempcv.cpp:1163).  The visited set is the orbit of a 2-state
+  automaton over the reject bits; its transition functions compose
+  associatively, so the exact visit set comes from
+  ``lax.associative_scan`` instead of a serial loop.
+
+Detection parity: box-for-box vs ``detect.reference_impl`` (the NumPy
+golden implementing the OpenCV 2.4 semantics) in float64 mode; float32
+mode trades bit-exact vote thresholds for TPU speed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.compile import (
+    CompiledCascade, compile_cascade, cv_round, scale_factors, scan_grid,
+    truncate_cascade)
+from ..models.spec import CascadeSpec
+from ..ops.integral import integral_images
+from .grouping import group_rectangles
+
+__all__ = ["ScaleCascadeDetector", "DetectionResult"]
+
+
+def _stage_paths(c: CompiledCascade) -> List[List[int]]:
+    """Root-to-leaf stage chains of the stage tree (tempcv.cpp:834-861).
+
+    A window is accepted iff every stage on some root-to-leaf path passes;
+    sibling order only affects which accepting path the reference's DFS
+    finds first, not acceptance, so path-mask evaluation is exact.  Plain
+    cascades are the single chain [0..n_stages-1].
+    """
+    n = c.spec.n_stages
+    if not c.is_tree:
+        return [list(range(n))]
+    children: List[List[int]] = [[] for _ in range(n)]
+    roots: List[int] = []
+    for s in range(n):
+        p = int(c.stage_parent[s])
+        if p == -1:
+            roots.append(s)
+        else:
+            children[p].append(s)
+    paths: List[List[int]] = []
+
+    def walk(s: int, prefix: List[int]) -> None:
+        prefix = prefix + [s]
+        if int(c.stage_child[s]) == -1:
+            paths.append(prefix)
+        else:
+            for ch in children[s]:
+                walk(ch, prefix)
+
+    # The DFS enters at stage 0 and can move to any root-level sibling on
+    # failure, so every root chain contributes paths.
+    for r in roots:
+        walk(r, [])
+    return paths
+
+
+@dataclasses.dataclass(frozen=True)
+class _ClfTables:
+    """Classifier-major padded tables. T = max nodes per classifier
+    (1 for stump cascades; the zoo's CART cascades are uniformly 2 or 3)."""
+
+    T: int
+    n_clf: int
+    corner_y: np.ndarray   # int32 [S, n_clf, T, 3, 4]
+    corner_x: np.ndarray   # int32 [S, n_clf, T, 3, 4]
+    weight: np.ndarray     # float32 [S, n_clf, T, 3]
+    use_tilted: np.ndarray  # bool [n_clf, T]
+    threshold: np.ndarray  # float32 [n_clf, T]
+    left: np.ndarray       # int32 [n_clf, T]
+    right: np.ndarray      # int32 [n_clf, T]
+    alpha: np.ndarray      # float32 [n_clf, T + 1]
+    clf_stage: np.ndarray  # int32 [n_clf]
+    clf_valid_nodes: np.ndarray  # int32 [n_clf]
+
+
+def _build_clf_tables(c: CompiledCascade,
+                      scales: Sequence[float]) -> _ClfTables:
+    spec = c.spec
+    n_clf = spec.n_classifiers
+    T = int(spec.clf_node_cnt.max()) if n_clf else 1
+    S = len(scales)
+    cy = np.zeros((S, n_clf, T, 3, 4), np.int32)
+    cx = np.zeros((S, n_clf, T, 3, 4), np.int32)
+    w = np.zeros((S, n_clf, T, 3), np.float32)
+    tlt = np.zeros((n_clf, T), bool)
+    thr = np.zeros((n_clf, T), np.float32)
+    left = np.zeros((n_clf, T), np.int32)
+    right = np.zeros((n_clf, T), np.int32)
+    alpha = np.zeros((n_clf, T + 1), np.float32)
+    clf_stage = np.zeros((n_clf,), np.int32)
+    nodesel = []  # flat node index per (clf, t), -1 for padding
+    for cidx in range(n_clf):
+        n0 = int(spec.clf_node_ofs[cidx])
+        cnt = int(spec.clf_node_cnt[cidx])
+        a0 = int(spec.clf_alpha_ofs[cidx])
+        for t in range(cnt):
+            node = n0 + t
+            thr[cidx, t] = c.node_threshold[node]
+            left[cidx, t] = c.left[node]
+            right[cidx, t] = c.right[node]
+            tlt[cidx, t] = c.use_tilted[node]
+        alpha[cidx, :cnt + 1] = spec.alphas[a0:a0 + cnt + 1]
+        nodesel.append([n0 + t if t < cnt else -1 for t in range(T)])
+    for stage in range(spec.n_stages):
+        c0 = int(spec.stage_clf_ofs[stage])
+        clf_stage[c0:c0 + int(spec.stage_clf_cnt[stage])] = stage
+    sel = np.asarray(nodesel, np.int64)  # [n_clf, T]
+    valid = sel >= 0
+    selc = np.clip(sel, 0, None)
+    for k, s in enumerate(scales):
+        sc = c.at_scale(s)
+        cy[k] = np.where(valid[..., None, None], sc.corner_y[selc], 0)
+        cx[k] = np.where(valid[..., None, None], sc.corner_x[selc], 0)
+        w[k] = np.where(valid[..., None], sc.weight[selc], 0.0)
+    return _ClfTables(
+        T=T, n_clf=n_clf, corner_y=cy, corner_x=cx, weight=w,
+        use_tilted=tlt, threshold=thr, left=left, right=right, alpha=alpha,
+        clf_stage=clf_stage,
+        clf_valid_nodes=spec.clf_node_cnt.astype(np.int32))
+
+
+@dataclasses.dataclass
+class DetectionResult:
+    """Detections plus diagnostics."""
+
+    boxes: np.ndarray          # int32 [n, 4] grouped (raw if min_neighbors=0)
+    neighbors: np.ndarray      # int32 [n]
+    candidates: np.ndarray     # int32 [m, 4] raw pre-grouping candidates
+    survivor_overflow: bool    # True if any scale overflowed the cap
+
+
+class ScaleCascadeDetector:
+    """Compiled multi-scale detector for one (cascade, image shape) pair.
+
+    Parameters mirror ``cvHaarDetectObjects`` (tempcv.hpp:141-145): the
+    pyramid is ``scale_factor``-spaced, ``min_size`` filters scales and
+    ``min_neighbors`` drives grouping.  ``front_stages``, ``cap`` and
+    ``clf_chunk`` are TPU execution knobs — the moral equivalents of the
+    reference's ``clod_flags`` execution-strategy bitmask (clod.h:17-21).
+    """
+
+    def __init__(self, spec: CascadeSpec, image_shape: Tuple[int, int],
+                 scale_factor: float = 1.1,
+                 min_size: Tuple[int, int] = (0, 0),
+                 max_size: Optional[Tuple[int, int]] = None,
+                 front_stages: int = 3,
+                 cap: Optional[int] = None,
+                 dtype=jnp.float32,
+                 clf_chunk: int = 256,
+                 max_stages: Optional[int] = None):
+        self.spec = spec
+        self.H, self.W = int(image_shape[0]), int(image_shape[1])
+        self.dtype = dtype
+        c = compile_cascade(spec)
+        if max_stages is not None:
+            c = truncate_cascade(c, max_stages)
+        self.compiled = c
+        self.scales = scale_factors(
+            spec.window_w, spec.window_h, self.W, self.H, scale_factor,
+            min_size, max_size, mode="scale_cascade")
+        self.n_scales = len(self.scales)
+        self.is_tree = c.is_tree
+        self.paths = _stage_paths(c)
+        self.n_stages = c.spec.n_stages
+        self.front_k = max(1, min(front_stages, self.n_stages))
+        if self.n_scales == 0:
+            return
+
+        # ---- per-scale static geometry ---------------------------------
+        grids = [scan_grid(self.W, self.H, int(cv_round(spec.window_w * f)),
+                           int(cv_round(spec.window_h * f)), f)
+                 for f in self.scales]
+        self.max_x = max(max((len(g[1]) for g in grids), default=1), 1)
+        self.max_y = max(max((len(g[2]) for g in grids), default=1), 1)
+        SENT = np.int32(1 << 28)
+        xs_pos = np.full((self.n_scales, self.max_x), SENT, np.int32)
+        ys_pos = np.full((self.n_scales, self.max_y), SENT, np.int32)
+        for k, (_, gx, gy) in enumerate(grids):
+            xs_pos[k, :len(gx)] = gx
+            ys_pos[k, :len(gy)] = gy
+
+        self.tables = _build_clf_tables(c, self.scales)
+        self.clf_chunk = min(clf_chunk, max(self.tables.n_clf, 1))
+        lattice = self.max_x * self.max_y
+        if cap is None:
+            # >95% of windows die in the front prefix on natural images
+            # (SURVEY.md section 7 hard-part #2); start small and let
+            # ``candidates`` auto-grow on overflow.
+            cap = int(2 ** np.ceil(np.log2(
+                min(max(lattice // 16, 256), 8192))))
+        self.cap = min(int(cap), lattice)
+
+        sc_tables = [c.at_scale(f) for f in self.scales]
+        self.win_w = np.array([t.win_w for t in sc_tables], np.int32)
+        self.win_h = np.array([t.win_h for t in sc_tables], np.int32)
+
+        dev = jnp.asarray
+        t = self.tables
+        self._scan_xs = dict(
+            corner_y=dev(t.corner_y), corner_x=dev(t.corner_x),
+            weight=dev(t.weight),
+            inv_area=dev(np.array([s.inv_area for s in sc_tables],
+                                  np.float64).astype(np.dtype(dtype))),
+            equ_y=dev(np.stack([s.equ_corner_y for s in sc_tables])),
+            equ_x=dev(np.stack([s.equ_corner_x for s in sc_tables])),
+            win_w=dev(self.win_w), win_h=dev(self.win_h),
+            xs_pos=dev(xs_pos), ys_pos=dev(ys_pos),
+        )
+        self._consts = dict(
+            threshold=dev(t.threshold),
+            left=dev(t.left), right=dev(t.right),
+            alpha=dev(t.alpha),
+            clf_stage=dev(t.clf_stage),
+            stage_threshold=dev(c.stage_threshold),
+        )
+        pm = np.zeros((len(self.paths), self.n_stages), bool)
+        for i, p in enumerate(self.paths):
+            pm[i, p] = True
+        self._path_mask = dev(pm)
+        self._pad = int(self.win_h.max() + self.win_w.max() + 4)
+        self._jit_detect = jax.jit(self._detect_device)
+
+    # ------------------------------------------------------------------
+    # device program
+    # ------------------------------------------------------------------
+
+    def _rect_sum_map(self, img, oy, ox, shape):
+        """Sum over one rect at every window position: 4 shifted slices."""
+        def sl(dy, dx):
+            return jax.lax.dynamic_slice(img, (dy, dx), shape)
+        return (sl(oy[0], ox[0]) - sl(oy[1], ox[1])
+                - sl(oy[2], ox[2]) + sl(oy[3], ox[3]))
+
+    def _node_value_map(self, planes, xs, clf, t, shape):
+        """Dense value map of one node over all window positions, summed in
+        rect order like the oracle (tempcv.cpp:905-918)."""
+        img = planes["tilted"] if self.tables.use_tilted[clf, t] \
+            else planes["sum"]
+        dtype = self.dtype
+        v = None
+        for k in range(3):
+            if not np.any(self.tables.weight[:, clf, t, k] != 0.0):
+                continue
+            oy = [xs["corner_y"][clf, t, k, j] for j in range(4)]
+            ox = [xs["corner_x"][clf, t, k, j] for j in range(4)]
+            rs = self._rect_sum_map(img, oy, ox, shape).astype(dtype)
+            term = rs * xs["weight"][clf, t, k].astype(dtype)
+            v = term if v is None else v + term
+        return v if v is not None else jnp.zeros(shape, dtype)
+
+    def _classifier_value_map(self, planes, xs, clf, vnf, shape):
+        """CART walk on dense maps (icvEvalHidHaarClassifier,
+        tempcv.cpp:771-792), unrolled over the host-known tree links."""
+        t_tab = self.tables
+        dtype = self.dtype
+        nvals = [self._node_value_map(planes, xs, clf, t, shape)
+                 for t in range(int(t_tab.clf_valid_nodes[clf]))]
+
+        def walk(t):
+            thr = jnp.asarray(t_tab.threshold[clf, t]).astype(dtype)
+            cond = nvals[t] < thr * vnf
+            lf, rt = int(t_tab.left[clf, t]), int(t_tab.right[clf, t])
+            lval = (jnp.full(shape, t_tab.alpha[clf, -lf], dtype)
+                    if lf <= 0 else walk(lf))
+            rval = (jnp.full(shape, t_tab.alpha[clf, -rt], dtype)
+                    if rt <= 0 else walk(rt))
+            return jnp.where(cond, lval, rval)
+
+        return walk(0)
+
+    def _per_scale(self, planes, xs):
+        c = self.compiled
+        spec = c.spec
+        H, W = self.H, self.W
+        shape = (H + 1, W + 1)
+        dtype = self.dtype
+        cap = self.cap
+        stage_thr = self._consts["stage_threshold"]
+
+        # ---- variance-normalization map (tempcv.cpp:822-832) -----------
+        equ_y, equ_x = xs["equ_y"], xs["equ_x"]
+        win_sum = self._rect_sum_map(planes["sum"], equ_y, equ_x,
+                                     shape).astype(dtype)
+        sq_hi = self._rect_sum_map(planes["sq_hi"], equ_y, equ_x,
+                                   shape).astype(dtype)
+        sq_lo = self._rect_sum_map(planes["sq_lo"], equ_y, equ_x,
+                                   shape).astype(dtype)
+        win_sq = sq_hi * jnp.asarray(256.0, dtype) + sq_lo
+        inv_area = xs["inv_area"].astype(dtype)
+        mean = win_sum * inv_area
+        var = win_sq * inv_area - mean * mean
+        vnf = jnp.where(var >= 0, jnp.sqrt(jnp.maximum(var, 0)),
+                        jnp.ones_like(var))
+
+        # ---- dense front-stage maps -------------------------------------
+        stage_pass = []
+        for st in range(self.front_k):
+            c0 = int(spec.stage_clf_ofs[st])
+            cnt = int(spec.stage_clf_cnt[st])
+            ssum = jnp.zeros(shape, dtype)
+            for j in range(cnt):
+                ssum = ssum + self._classifier_value_map(
+                    planes, xs, c0 + j, vnf, shape)
+            stage_pass.append(ssum >= stage_thr[st].astype(dtype))
+        fail0 = ~stage_pass[0]
+        if self.is_tree:
+            fp = jnp.zeros(shape, bool)
+            for pth in self.paths:
+                acc = jnp.ones(shape, bool)
+                for st in pth:
+                    if st < self.front_k:
+                        acc = acc & stage_pass[st]
+                fp = fp | acc
+            front_possible = fp
+        else:
+            front_possible = functools.reduce(jnp.logical_and, stage_pass)
+
+        # ---- scan lattice ------------------------------------------------
+        xs_pos, ys_pos = xs["xs_pos"], xs["ys_pos"]
+        win_w, win_h = xs["win_w"], xs["win_h"]
+        xc = jnp.clip(xs_pos, 0, W)
+        yc = jnp.clip(ys_pos, 0, H)
+        # boundary semantics: reject iff pt + real_window >= W+1
+        # (tempcv.cpp:816-819), i.e. in-bounds iff x+winW <= W.
+        inb = ((ys_pos[:, None] + win_h <= H)
+               & (xs_pos[None, :] + win_w <= W))
+        lat_front = front_possible[yc[:, None], xc[None, :]] & inb
+        lat_vnf = vnf[yc[:, None], xc[None, :]]
+
+        # ---- compact front survivors (static cap) ------------------------
+        n_lat = self.max_y * self.max_x
+        flat = lat_front.reshape(-1)
+        n_surv = jnp.sum(flat.astype(jnp.int32))
+        (surv_idx,) = jnp.nonzero(flat, size=cap, fill_value=n_lat)
+        valid = surv_idx < n_lat
+        surv_idx_c = jnp.where(valid, surv_idx, 0)
+        siy = surv_idx_c // self.max_x
+        six = surv_idx_c % self.max_x
+        sy = yc[siy]
+        sx = xc[six]
+        svnf = lat_vnf.reshape(-1)[surv_idx_c]
+
+        # ---- tail stages on survivors (chunked gathers) -------------------
+        accept = self._tail_accept(planes, xs, sy, sx, svnf) & valid
+
+        # ---- visit-set (skip-by-2) + final accept -------------------------
+        # f = (result == 0): stage-0 reject for stump/CART cascades (return
+        # value -i with i == 0, tempcv.cpp:1163); ANY reject for stage-tree
+        # cascades (return 0, tempcv.cpp:858).
+        acc_lat = jnp.zeros((n_lat,), bool).at[surv_idx].set(
+            accept, mode="drop").reshape(self.max_y, self.max_x)
+        if self.is_tree:
+            f_lat = inb & ~acc_lat
+        else:
+            f_lat = inb & fail0[yc[:, None], xc[None, :]]
+
+        # The skip automaton skip[i+1] = f[i] & ~skip[i] (with skip[0]=0)
+        # has the closed form: skip[i] = 1 iff the run of consecutive f=1
+        # ending at i-1 has odd length (a skipped position resets the
+        # alternation).  Run length = i - index_of_last_zero, and the last
+        # zero is a running max — a cheap cumulative op instead of a
+        # sequential loop over scan columns.
+        col = jax.lax.broadcasted_iota(jnp.int32, f_lat.shape, 1)
+        last0 = jax.lax.cummax(jnp.where(f_lat, jnp.int32(-1), col), axis=1)
+        runlen = col - last0
+        odd_run = f_lat & ((runlen & 1) == 1)
+        skip = jnp.concatenate(
+            [jnp.zeros((self.max_y, 1), bool), odd_run[:, :-1]], axis=1)
+        visited = ~skip
+
+        ok = accept & visited.reshape(-1)[surv_idx_c] & valid
+        return dict(sy=sy, sx=sx, ok=ok, n_surv=n_surv)
+
+    def _tail_accept(self, planes, xs, sy, sx, svnf):
+        """Evaluate all stages on the compacted survivors and combine
+        stage passes into acceptance (chain AND over tail stages, or
+        path-mask OR/AND for stage trees)."""
+        c = self.compiled
+        dtype = self.dtype
+        cap = self.cap
+        n_clf, T = self.tables.n_clf, self.tables.T
+        ck = self.clf_chunk
+        n_chunks = -(-n_clf // ck)
+        padded = n_chunks * ck
+        consts = self._consts
+
+        def pad_clf(a, fill=0):
+            padn = padded - a.shape[0]
+            if padn == 0:
+                return a
+            return jnp.concatenate(
+                [a, jnp.full((padn,) + a.shape[1:], fill, a.dtype)], 0)
+
+        chunk_in = dict(
+            cy=pad_clf(xs["corner_y"]).reshape(n_chunks, ck, T, 3, 4),
+            cx=pad_clf(xs["corner_x"]).reshape(n_chunks, ck, T, 3, 4),
+            w=pad_clf(xs["weight"]).reshape(n_chunks, ck, T, 3),
+            thr=pad_clf(consts["threshold"]).reshape(n_chunks, ck, T),
+            left=pad_clf(consts["left"]).reshape(n_chunks, ck, T),
+            right=pad_clf(consts["right"]).reshape(n_chunks, ck, T),
+            alpha=pad_clf(consts["alpha"]).reshape(n_chunks, ck, T + 1),
+        )
+        tilt = np.zeros((padded, T), bool)
+        tilt[:n_clf] = self.tables.use_tilted
+        chunk_in["tilt"] = jnp.asarray(tilt).reshape(n_chunks, ck, T)
+
+        def chunk_votes(_, cxs):
+            gy = sy[:, None, None, None, None] + cxs["cy"][None]
+            gx = sx[:, None, None, None, None] + cxs["cx"][None]
+            v = planes["sum"][gy, gx]
+            if c.has_tilted:
+                v_t = planes["tilted"][gy, gx]
+                v = jnp.where(cxs["tilt"][None, ..., None, None], v_t, v)
+            v = v.astype(dtype)
+            rs = v[..., 0] - v[..., 1] - v[..., 2] + v[..., 3]
+            w = cxs["w"][None].astype(dtype)         # [1, ck, T, 3]
+            # rect-ordered sum, matching the oracle's accumulation order
+            nv = rs[..., 0] * w[..., 0] + rs[..., 1] * w[..., 1] \
+                + rs[..., 2] * w[..., 2]              # [cap, ck, T]
+            ar = jnp.arange(ck)
+            idx = jnp.zeros((cap, ck), jnp.int32)
+            val = jnp.zeros((cap, ck), dtype)
+            done = jnp.zeros((cap, ck), bool)
+            for _t in range(T):
+                nvt = jnp.take_along_axis(nv, idx[..., None], axis=2)[..., 0]
+                tht = cxs["thr"][ar, idx].astype(dtype)
+                lf = cxs["left"][ar, idx]
+                rt = cxs["right"][ar, idx]
+                nxt = jnp.where(nvt < tht * svnf[:, None], lf, rt)
+                leaf = nxt <= 0
+                av = cxs["alpha"][ar, jnp.clip(-nxt, 0, T)].astype(dtype)
+                val = jnp.where(leaf & ~done, av, val)
+                done = done | leaf
+                idx = jnp.clip(nxt, 0, T - 1)
+            return None, val
+
+        _, votes = jax.lax.scan(chunk_votes, None, chunk_in)
+        votes = jnp.moveaxis(votes, 0, 1).reshape(cap, padded)[:, :n_clf]
+        seg = jax.ops.segment_sum(votes.T, consts["clf_stage"],
+                                  num_segments=self.n_stages)
+        st_pass = (seg >= self._consts["stage_threshold"][:, None]
+                   .astype(dtype)).T                   # [cap, n_stages]
+        if self.is_tree:
+            pm = self._path_mask                       # [n_paths, n_stages]
+            per_path = jnp.all(st_pass[:, None, :] | ~pm[None], axis=-1)
+            return jnp.any(per_path, axis=-1)
+        if self.front_k < self.n_stages:
+            return jnp.all(st_pass[:, self.front_k:], axis=-1)
+        return jnp.ones((cap,), bool)
+
+    def _detect_device(self, gray):
+        c = self.compiled
+        ii = integral_images(gray, with_tilted=c.has_tilted)
+        padw = [(0, self._pad), (0, self._pad)]
+        planes = {
+            "sum": jnp.pad(ii.sum, padw),
+            "sq_hi": jnp.pad(ii.sq_hi, padw),
+            "sq_lo": jnp.pad(ii.sq_lo, padw),
+        }
+        if c.has_tilted:
+            planes["tilted"] = jnp.pad(ii.tilted, padw)
+
+        def body(carry, xs):
+            return carry, self._per_scale(planes, xs)
+
+        _, out = jax.lax.scan(body, None, self._scan_xs)
+        return out
+
+    # ------------------------------------------------------------------
+    # host API
+    # ------------------------------------------------------------------
+
+    def candidates(self, gray) -> Tuple[np.ndarray, bool]:
+        """Raw (pre-grouping) candidate boxes, in the oracle's scan order.
+        Returns (boxes [m,4] int32, overflow flag).
+
+        If a scale's front-stage survivors overflow the static cap, the
+        program is re-specialized with a 4x cap and re-run (the static-shape
+        answer to the reference's unbounded atomic-append worklists,
+        clod.cl:85-91); the flag stays True only if the hard lattice-size
+        ceiling is hit."""
+        if self.n_scales == 0:
+            return np.zeros((0, 4), np.int32), False
+        gray = jnp.asarray(gray, jnp.uint8)
+        out = jax.tree_util.tree_map(np.asarray, self._jit_detect(gray))
+        lattice = self.max_y * self.max_x
+        while bool(np.any(out["n_surv"] > self.cap)) and self.cap < lattice:
+            self.cap = min(self.cap * 4, lattice)
+            self._jit_detect = jax.jit(self._detect_device)
+            out = jax.tree_util.tree_map(np.asarray, self._jit_detect(gray))
+        boxes: List[np.ndarray] = []
+        overflow = bool(np.any(out["n_surv"] > self.cap))
+        for k in range(self.n_scales):
+            ok = out["ok"][k]
+            if not ok.any():
+                continue
+            sx = out["sx"][k][ok]
+            sy = out["sy"][k][ok]
+            ww = np.full_like(sx, self.win_w[k])
+            wh = np.full_like(sx, self.win_h[k])
+            boxes.append(np.stack([sx, sy, ww, wh], axis=1))
+        if boxes:
+            cand = np.concatenate(boxes, axis=0).astype(np.int32)
+        else:
+            cand = np.zeros((0, 4), np.int32)
+        return cand, overflow
+
+    def detect(self, gray, min_neighbors: int = 3) -> DetectionResult:
+        """Full detection incl. grouping (cvHaarDetectObjectsForROC tail,
+        tempcv.cpp:1461-1472)."""
+        cand, overflow = self.candidates(gray)
+        if min_neighbors != 0:
+            boxes, neigh = group_rectangles(cand, max(min_neighbors, 1),
+                                            eps=0.2)
+        else:
+            boxes, neigh = cand, np.ones(len(cand), np.int32)
+        return DetectionResult(boxes=boxes, neighbors=neigh,
+                               candidates=cand, survivor_overflow=overflow)

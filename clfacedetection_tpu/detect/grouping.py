@@ -1,0 +1,137 @@
+"""Rectangle grouping (non-maximum suppression via similarity classes).
+
+Host-side (NumPy) port of OpenCV's ``groupRectangles`` as carried in the
+reference (``AgroupRectangles`` + ``ASimilarRects``, tempcv.cpp:129-243,
+and ``cv::partition`` union-find).  Grouping is inherently sequential
+union-find over a few hundred boxes, so it stays on the host behind the
+API, exactly like the reference applies it after device readback
+(clod.cpp:1324-1326); SURVEY.md section 7 "hard parts" #6.
+
+The reference's own C port of this routine has two bugs (inverted INT_MAX
+clamp and ``r1.width + r1.width`` containment test — clod.cpp:333-339,
+SURVEY.md C9); we implement the *correct* OpenCV semantics, with the buggy
+variant available as ``variant="clod"`` for behavioral-parity studies.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+__all__ = ["group_rectangles", "partition_similar"]
+
+
+def _similar(r1: np.ndarray, r2: np.ndarray, eps: float) -> bool:
+    """ASimilarRects (tempcv.cpp:129-143)."""
+    delta = eps * (min(r1[2], r2[2]) + min(r1[3], r2[3])) * 0.5
+    return (abs(r1[0] - r2[0]) <= delta
+            and abs(r1[1] - r2[1]) <= delta
+            and abs(r1[0] + r1[2] - r2[0] - r2[2]) <= delta
+            and abs(r1[1] + r1[3] - r2[1] - r2[3]) <= delta)
+
+
+def partition_similar(boxes: np.ndarray, eps: float) -> Tuple[np.ndarray, int]:
+    """cv::partition with ASimilarRects: union-find with path compression
+    and rank union (the semantics of partitionData, clod.cpp:194-280).
+
+    Returns (labels [n], n_classes); labels are 0..n_classes-1 in first-
+    appearance order of each class root, matching cv::partition.
+    """
+    n = len(boxes)
+    parent = np.arange(n)
+    rank = np.zeros(n, np.int32)
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:  # path compression
+            parent[i], i = root, parent[i]
+        return root
+
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            if _similar(boxes[i], boxes[j], eps):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    if rank[ri] < rank[rj]:
+                        ri, rj = rj, ri
+                    parent[rj] = ri
+                    if rank[ri] == rank[rj]:
+                        rank[ri] += 1
+
+    labels = np.empty(n, np.int32)
+    root_to_label = {}
+    for i in range(n):
+        r = find(i)
+        if r not in root_to_label:
+            root_to_label[r] = len(root_to_label)
+        labels[i] = root_to_label[r]
+    return labels, len(root_to_label)
+
+
+def group_rectangles(boxes: np.ndarray, group_threshold: int,
+                     eps: float = 0.2,
+                     variant: str = "opencv") -> Tuple[np.ndarray, np.ndarray]:
+    """Group candidate boxes; returns (boxes [m,4] int32, neighbors [m]).
+
+    Exact AgroupRectangles semantics (tempcv.cpp:145-243):
+    1. partition into similarity classes,
+    2. average each class with float ``1.f/n`` scaling and C truncation,
+    3. drop classes with ``<= group_threshold`` members,
+    4. drop small classes contained (within an eps margin) in a bigger
+       class when ``n2 > max(3, n1) or n1 < 3``.
+    """
+    boxes = np.asarray(boxes, np.int64).reshape(-1, 4)
+    if group_threshold <= 0 or len(boxes) == 0:
+        return boxes.astype(np.int32), np.ones(len(boxes), np.int32)
+
+    labels, ncls = partition_similar(boxes, eps)
+    sums = np.zeros((ncls, 4), np.int64)
+    np.add.at(sums, labels, boxes)
+    counts = np.bincount(labels, minlength=ncls).astype(np.int32)
+    # float32 reciprocal multiply + trunc-toward-zero (tempcv.cpp:188-195)
+    s = (np.float32(1.0) / counts.astype(np.float32))[:, None]
+    rrects = (sums.astype(np.float32) * s).astype(np.int64)
+
+    keep = []
+    out_n = []
+    for i in range(ncls):
+        r1 = rrects[i]
+        n1 = int(counts[i])
+        if n1 <= group_threshold:
+            continue
+        contained = False
+        for j in range(ncls):
+            n2 = int(counts[j])
+            if j == i or n2 <= group_threshold:
+                continue
+            r2 = rrects[j]
+            if variant == "clod":
+                # the reference port's bugs (clod.cpp:333-339): the clamp
+                # maxes with INT_MAX (so dx/dy are huge) and the right edge
+                # uses width+width — kept for behavioral parity studies.
+                dx = max(int(r2[2] * eps), np.iinfo(np.int32).max)
+                dy = max(int(r2[3] * eps), np.iinfo(np.int32).max)
+                inside = (r1[0] >= r2[0] - dx and r1[1] >= r2[1] - dy
+                          and r1[2] + r1[2] <= r2[0] + r2[2] + dx
+                          and r1[3] + r1[3] <= r2[1] + r2[3] + dy)
+            else:
+                dx = int(r2[2] * eps)
+                dy = int(r2[3] * eps)
+                inside = (r1[0] >= r2[0] - dx and r1[1] >= r2[1] - dy
+                          and r1[0] + r1[2] <= r2[0] + r2[2] + dx
+                          and r1[1] + r1[3] <= r2[1] + r2[3] + dy)
+            if inside and (n2 > max(3, n1) or n1 < 3):
+                contained = True
+                break
+        if not contained:
+            keep.append(r1)
+            out_n.append(n1)
+
+    if not keep:
+        return np.zeros((0, 4), np.int32), np.zeros((0,), np.int32)
+    return np.stack(keep).astype(np.int32), np.asarray(out_n, np.int32)

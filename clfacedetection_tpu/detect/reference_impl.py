@@ -1,0 +1,226 @@
+"""NumPy golden-reference detector (the parity oracle).
+
+The reference project's only correctness definition is "same boxes as OpenCV
+2.4's ``cvHaarDetectObjects``" (side-by-side HighGUI windows,
+``main.cpp:75-97``; SURVEY.md section 4).  OpenCV 5 removed the objdetect
+cascade API entirely, so this module *is* the oracle: a deliberately slow,
+window-at-a-time NumPy implementation of the exact semantics of the
+in-repo OpenCV copy (``tempcv.cpp``), written independently of the JAX/TPU
+fast path so the two can be cross-checked box-for-box.
+
+Covered semantics, with reference citations:
+
+* variance normalization  (cvRunHaarClassifierCascadeSum, tempcv.cpp:822-832)
+* stump voting in double  (tempcv.cpp:905-948): stage_sum += alpha[sum >= t]
+* CART tree node walking  (icvEvalHidHaarClassifier, tempcv.cpp:771-792)
+* stage-tree traversal    (tempcv.cpp:834-861)
+* stage-threshold bias    (tempcv.cpp:262,419)
+* boundary rejects        (tempcv.cpp:816-819: x + realW >= W+1 -> -1)
+* scale-cascade scan      (ScaleCascade_Invoker, tempcv.cpp:1139-1170):
+  x = cvRound(ix*ystep); ``ixstep = result != 0 ? 1 : 2`` — i.e. skip the
+  next column after a *stage-0* reject (stump cascades return ``-i`` = 0
+  for stage 0) or any reject in stage-tree cascades (return 0)
+* scale-image scan        (ScaleImage_Invoker, tempcv.cpp:1013-1106):
+  resized level, ystep = factor > 2 ? 1 : 2, strip bounds that stop one
+  row/col short (y2 = rows-1-h0; ssz.width = cols-1-w0)
+* scale enumeration       (tempcv.cpp:1268-1296 / 1345-1376)
+* grouping                (AgroupRectangles, tempcv.cpp:145-243)
+
+Integral images come from ``cv2.integral`` (sum int32, sqsum float64,
+tilted int32) — the same oracle the reference demo compares against
+(main.cpp:63-69).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..models.compile import (
+    CompiledCascade, ScaledCascade, compile_cascade, cv_round,
+    scale_factors, scan_grid, truncate_cascade)
+from ..models.spec import CascadeSpec
+from .grouping import group_rectangles
+
+__all__ = ["detect_multi_scale_reference", "RefWindowEvaluator"]
+
+
+class RefWindowEvaluator:
+    """Evaluate the full cascade on single windows (slow; oracle only)."""
+
+    def __init__(self, compiled: CompiledCascade, scaled: ScaledCascade,
+                 sum_img: np.ndarray, sqsum_img: np.ndarray,
+                 tilted_img: Optional[np.ndarray]):
+        self.c = compiled
+        self.s = scaled
+        self.sum = sum_img
+        self.sqsum = sqsum_img
+        self.tilted = tilted_img
+        self.H = sum_img.shape[0] - 1
+        self.W = sum_img.shape[1] - 1
+
+    def _rect_sum(self, node: int, k: int, x: int, y: int) -> float:
+        img = self.tilted if self.s.use_tilted[node] else self.sum
+        cy = self.s.corner_y[node, k] + y
+        cx = self.s.corner_x[node, k] + x
+        return float(img[cy[0], cx[0]]) - float(img[cy[1], cx[1]]) \
+            - float(img[cy[2], cx[2]]) + float(img[cy[3], cx[3]])
+
+    def _node_value(self, node: int, x: int, y: int) -> float:
+        w = self.s.weight[node]
+        v = self._rect_sum(node, 0, x, y) * float(w[0])
+        v += self._rect_sum(node, 1, x, y) * float(w[1])
+        if w[2] != 0.0:
+            v += self._rect_sum(node, 2, x, y) * float(w[2])
+        return v
+
+    def _eval_classifier(self, clf: int, vnf: float, x: int, y: int) -> float:
+        """CART walk (icvEvalHidHaarClassifier, tempcv.cpp:771-792)."""
+        spec = self.c.spec
+        n0 = int(spec.clf_node_ofs[clf])
+        a0 = int(spec.clf_alpha_ofs[clf])
+        idx = 0
+        while True:
+            node = n0 + idx
+            t = float(self.c.node_threshold[node]) * vnf
+            v = self._node_value(node, x, y)
+            idx = int(self.c.left[node]) if v < t else int(self.c.right[node])
+            if idx <= 0:
+                return float(spec.alphas[a0 - idx])
+
+    def _stage_sum(self, stage: int, vnf: float, x: int, y: int) -> float:
+        spec = self.c.spec
+        c0 = int(spec.stage_clf_ofs[stage])
+        total = 0.0
+        for j in range(int(spec.stage_clf_cnt[stage])):
+            total += self._eval_classifier(c0 + j, vnf, x, y)
+        return total
+
+    def run(self, x: int, y: int) -> int:
+        """cvRunHaarClassifierCascadeSum return codes: 1 pass, -i fail at
+        stage i (stump/CART cascades), 0 fail (stage-tree cascades),
+        -1 out of bounds."""
+        if x < 0 or y < 0 or x + self.s.win_w >= self.W + 1 \
+                or y + self.s.win_h >= self.H + 1:
+            return -1
+        # Variance normalization over the equalization rect.
+        cy = self.s.equ_corner_y + y
+        cx = self.s.equ_corner_x + x
+        win_sum = float(self.sum[cy[0], cx[0]]) - float(self.sum[cy[1], cx[1]]) \
+            - float(self.sum[cy[2], cx[2]]) + float(self.sum[cy[3], cx[3]])
+        win_sq = float(self.sqsum[cy[0], cx[0]]) - float(self.sqsum[cy[1], cx[1]]) \
+            - float(self.sqsum[cy[2], cx[2]]) + float(self.sqsum[cy[3], cx[3]])
+        mean = win_sum * self.s.inv_area
+        vnf = win_sq * self.s.inv_area - mean * mean
+        vnf = np.sqrt(vnf) if vnf >= 0.0 else 1.0
+
+        if self.c.is_tree:
+            # DFS over the stage tree (tempcv.cpp:834-861).
+            ptr = 0
+            while ptr is not None:
+                ss = self._stage_sum(ptr, vnf, x, y)
+                if ss >= float(self.c.stage_threshold[ptr]):
+                    child = int(self.c.stage_child[ptr])
+                    if child == -1:
+                        return 1
+                    ptr = child
+                else:
+                    while ptr is not None and int(self.c.stage_next[ptr]) == -1:
+                        p = int(self.c.stage_parent[ptr])
+                        ptr = p if p != -1 else None
+                    if ptr is None:
+                        return 0
+                    ptr = int(self.c.stage_next[ptr])
+            return 1
+        else:
+            for i in range(self.c.spec.n_stages):
+                ss = self._stage_sum(i, vnf, x, y)
+                if ss < float(self.c.stage_threshold[i]):
+                    return -i
+            return 1
+
+
+def _integrals(gray: np.ndarray, need_tilted: bool):
+    import cv2
+    if need_tilted:
+        s, sq, t = cv2.integral3(gray, sdepth=cv2.CV_32S, sqdepth=cv2.CV_64F)
+    else:
+        s, sq = cv2.integral2(gray, sdepth=cv2.CV_32S, sqdepth=cv2.CV_64F)
+        t = None
+    return s, sq, t
+
+
+def detect_multi_scale_reference(
+        gray: np.ndarray,
+        spec: CascadeSpec,
+        scale_factor: float = 1.1,
+        min_neighbors: int = 3,
+        min_size: Tuple[int, int] = (0, 0),
+        max_size: Optional[Tuple[int, int]] = None,
+        mode: str = "scale_cascade",
+        max_stages: Optional[int] = None,
+) -> np.ndarray:
+    """Full-pipeline golden detector. Returns int32 boxes [n, 4] (x,y,w,h).
+
+    ``max_stages`` truncates the cascade (keeps candidate sets non-empty on
+    synthetic test images; parity tests compare truncated-cascade candidate
+    sets between oracle and TPU path).
+    """
+    assert gray.ndim == 2 and gray.dtype == np.uint8
+    compiled = compile_cascade(spec)
+    if max_stages is not None:
+        compiled = truncate_cascade(compiled, max_stages)
+    H, W = gray.shape
+    candidates: List[Tuple[int, int, int, int]] = []
+
+    factors = scale_factors(spec.window_w, spec.window_h, W, H,
+                            scale_factor, min_size, max_size, mode=mode)
+    if mode == "scale_cascade":
+        s_img, sq_img, t_img = _integrals(gray, compiled.has_tilted)
+        for f in factors:
+            scaled = compiled.at_scale(f)
+            ev = RefWindowEvaluator(compiled, scaled, s_img, sq_img, t_img)
+            ystep, xs, ys = scan_grid(W, H, scaled.win_w, scaled.win_h, f)
+            for y in ys:
+                ix = 0
+                while ix < len(xs):
+                    res = ev.run(int(xs[ix]), int(y))
+                    if res > 0:
+                        candidates.append((int(xs[ix]), int(y),
+                                           scaled.win_w, scaled.win_h))
+                    ix += 1 if res != 0 else 2
+    elif mode == "scale_image":
+        import cv2
+        w0, h0 = spec.window_w, spec.window_h
+        scaled = compiled.at_scale(1.0)
+        # scale-image normalization rect is the fixed (1,1,w0-2,h0-2)
+        # border rect (icv_object_win_border, tempcv.cpp:261,1276-1278) —
+        # identical to at_scale(1.0)'s equalization rect.
+        for f in factors:
+            win_w = int(cv_round(w0 * f))
+            win_h = int(cv_round(h0 * f))
+            sz_w = int(cv_round(W / f))
+            sz_h = int(cv_round(H / f))
+            lvl = cv2.resize(gray, (sz_w, sz_h),
+                             interpolation=cv2.INTER_LINEAR)
+            s_img, sq_img, t_img = _integrals(lvl, compiled.has_tilted)
+            ev = RefWindowEvaluator(compiled, scaled, s_img, sq_img, t_img)
+            ystep = 1 if f > 2 else 2
+            # strip bounds: y < rows-1-h0, x < cols-1-w0 (tempcv.cpp:1015-1020)
+            y2 = sz_h - h0
+            x2 = sz_w - w0
+            for y in range(0, max(y2, 0), ystep):
+                for x in range(0, max(x2, 0), ystep):
+                    if ev.run(x, y) > 0:
+                        candidates.append((int(cv_round(x * f)),
+                                           int(cv_round(y * f)),
+                                           win_w, win_h))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    boxes = np.array(candidates, np.int32).reshape(-1, 4)
+    if min_neighbors != 0:
+        boxes, _ = group_rectangles(boxes, max(min_neighbors, 1), eps=0.2)
+    return boxes

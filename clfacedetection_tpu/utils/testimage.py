@@ -1,0 +1,73 @@
+"""Synthetic test imagery.
+
+The reference benchmarks against a JPEG photo loaded from a hardcoded
+developer path (main.cpp:48); this repo has no image assets, so tests and
+benchmarks use procedurally generated frontal-face patterns that reliably
+fire the bundled cascades end to end (verified: the full 25-stage
+``frontalface_default`` and 22-stage ``frontalface_alt`` cascades produce
+stable detections on these patterns).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["synth_face", "synth_scene"]
+
+
+def synth_face(shape: Tuple[int, int] = (120, 160),
+               center: Optional[Tuple[int, int]] = None,
+               size: float = 40.0,
+               seed: int = 3,
+               noise: float = 6.0) -> np.ndarray:
+    """Crude frontal face (skin oval, eyes/brows, nose, mouth) on a noisy
+    background. ``size`` is roughly the detected box edge * 0.9."""
+    H, W = shape
+    cy, cx = center if center is not None else (H // 2, W // 2)
+    img = np.full((H, W), 105, np.float32)
+    rng = np.random.default_rng(seed)
+    img += rng.normal(0, noise, (H, W)).astype(np.float32)
+    _paint_face(img, cy, cx, size)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def synth_scene(shape: Tuple[int, int] = (1080, 1920),
+                faces: Sequence[Tuple[int, int, float]] = ((540, 960, 90.0),),
+                seed: int = 3,
+                noise: float = 6.0) -> np.ndarray:
+    """A larger scene with several faces at (cy, cx, size)."""
+    H, W = shape
+    img = np.full((H, W), 105, np.float32)
+    rng = np.random.default_rng(seed)
+    img += rng.normal(0, noise, (H, W)).astype(np.float32)
+    for cy, cx, size in faces:
+        _paint_face(img, cy, cx, size)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _paint_face(img: np.ndarray, cy: float, cx: float, s: float) -> None:
+    H, W = img.shape
+    # local patch bounding the face keeps painting O(face), not O(image)
+    r = int(s * 1.5) + 2
+    y0, y1 = max(0, int(cy) - r), min(H, int(cy) + r)
+    x0, x1 = max(0, int(cx) - r), min(W, int(cx) + r)
+    if y0 >= y1 or x0 >= x1:
+        return
+    yy, xx = np.mgrid[y0:y1, x0:x1].astype(np.float32)
+    patch = img[y0:y1, x0:x1]
+
+    def blob(by, bx, ry, rx, amp):
+        m = ((yy - by) / ry) ** 2 + ((xx - bx) / rx) ** 2
+        patch[...] += amp * np.exp(-m * 2.0)
+
+    blob(cy, cx, s * 0.62, s * 0.48, 95)                   # skin oval
+    blob(cy - s * 0.18, cx - s * 0.20, s * 0.07, s * 0.12, -85)  # L eye
+    blob(cy - s * 0.18, cx + s * 0.20, s * 0.07, s * 0.12, -85)  # R eye
+    blob(cy - s * 0.30, cx - s * 0.20, s * 0.04, s * 0.14, -40)  # L brow
+    blob(cy - s * 0.30, cx + s * 0.20, s * 0.04, s * 0.14, -40)  # R brow
+    blob(cy + s * 0.05, cx, s * 0.16, s * 0.06, 25)        # nose ridge
+    blob(cy + s * 0.18, cx, s * 0.045, s * 0.10, -45)      # nostrils
+    blob(cy + s * 0.34, cx, s * 0.05, s * 0.18, -65)       # mouth
+    blob(cy + s * 0.48, cx, s * 0.06, s * 0.25, 20)        # chin light

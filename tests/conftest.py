@@ -9,7 +9,7 @@ oracle (``tempcv.cpp:796`` accumulates in double).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +17,9 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone is not enough when a TPU plugin (axon) pre-set
+# JAX_PLATFORMS; the config update forces CPU deterministically.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
