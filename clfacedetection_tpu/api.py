@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .detect.detector import DetectionResult, ScaleCascadeDetector
+from .detect.pyramid import PyramidDetector
 from .models.spec import CascadeSpec
 from .models.zoo import load_cascade
 from .ops.integral import bgr_to_gray
@@ -69,14 +70,25 @@ class CascadeClassifier:
     >>> clf = CascadeClassifier("haarcascade_frontalface_alt")
     >>> boxes = clf.detect_multi_scale(frame, scale_factor=1.1,
     ...                                min_neighbors=3, min_size=(40, 40))
+
+    ``mode`` selects the pyramid strategy, mirroring the reference's
+    CV_HAAR_SCALE_IMAGE flag (tempcv.cpp:1257):
+
+    * ``"scale_image"`` (default) — downscale the frame per level, fixed
+      window; the packed-canvas TPU fast path (detect/pyramid.py).
+    * ``"scale_cascade"`` — fixed frame, features rescaled per level; the
+      mode the reference demo exercises (main.cpp:145, flags=0).
     """
 
     def __init__(self, cascade: Union[str, CascadeSpec],
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, mode: str = "scale_image"):
         self.spec = (cascade if isinstance(cascade, CascadeSpec)
                      else load_cascade(cascade))
         self.dtype = dtype
-        self._detectors: Dict[tuple, ScaleCascadeDetector] = {}
+        if mode not in ("scale_image", "scale_cascade"):
+            raise ValueError(f"unknown mode {mode!r}")
+        self.mode = mode
+        self._detectors: Dict[tuple, object] = {}
 
     @property
     def original_window_size(self) -> Tuple[int, int]:
@@ -85,14 +97,15 @@ class CascadeClassifier:
     def empty(self) -> bool:
         return self.spec.n_stages == 0
 
-    def _detector(self, shape, scale_factor, min_size, max_size,
-                  **knobs) -> ScaleCascadeDetector:
+    def _detector(self, shape, scale_factor, min_size, max_size, **knobs):
         key = (shape, float(scale_factor), tuple(min_size),
                tuple(max_size) if max_size else None,
                tuple(sorted(knobs.items())))
         det = self._detectors.get(key)
         if det is None:
-            det = ScaleCascadeDetector(
+            cls = (PyramidDetector if self.mode == "scale_image"
+                   else ScaleCascadeDetector)
+            det = cls(
                 self.spec, shape, scale_factor=scale_factor,
                 min_size=tuple(min_size),
                 max_size=tuple(max_size) if max_size else None,

@@ -1,0 +1,427 @@
+"""Scale-image pyramid detector — the TPU fast path.
+
+Implements the reference's CV_HAAR_SCALE_IMAGE mode (OpenCV's modern
+default: downscale the image per level, keep the 20x20 window fixed;
+tempcv.cpp:1257-1328 + HaarDetectObjects_ScaleImage_Invoker
+tempcv.cpp:989-1113) as a single compiled XLA program built around three
+TPU-first ideas:
+
+1. **Pyramid packing.**  All levels are resized (pinned 2.4-era fixed-point
+   bilinear, ops/resize.py) and stacked into ONE canvas; ONE integral pass
+   serves every level.  A 4-corner rect sum is exact for any rect inside
+   the canvas regardless of what surrounds it, so levels need no gap —
+   windows never cross level boundaries because the (static) visit mask
+   keeps them inside each level's scan range.  Where the reference re-runs
+   cvIntegral per level (tempcv.cpp:1303) and the OpenCL port re-uploads
+   state per stage (SURVEY section 3.3), this path touches the frame once.
+
+2. **Static everything.**  At scale 1 the feature geometry needs no
+   rounding, so front stages are evaluated densely over the whole canvas
+   with *static* shifted slices (fused VPU stencils — no gathers, no
+   per-scale tables), and the scan lattice (ystep 2/1 per level, strip
+   bounds y < lvl_h - h0, x < lvl_w - w0, tempcv.cpp:1015-1020) is a
+   host-precomputed constant mask.  Scale-image mode has no skip-by-2
+   feedback (the x loop steps unconditionally, tempcv.cpp:1092-1106), so
+   the visit set is fully static.
+
+3. **MXU tail.**  Front-stage survivors are compacted (static cap) and
+   their windows evaluated in one matmul: a gathered *local rect-integral
+   patch* R[dy,dx] = I[y+dy,x+dx] - I[y,x+dx] - I[y+dy,x] + I[y,x]
+   (window-bounded values — exact in float32 even though raw integral
+   entries overflow the f32 mantissa; the +,-,-,+ corner pattern makes
+   rect sums invariant under this correction) times a static stencil
+   matrix [(h0+1)(w0+1), n_nodes] holding every node's signed corner
+   weights.  One [cap, 441] x [441, n_nodes] product replaces the
+   reference's per-window per-stage scalar loops (clod.cl:52-80).
+
+Parity: float64 mode matches detect.reference_impl(mode="scale_image")
+box-for-box (same resize, same variance semantics, same vote order).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.compile import (
+    compile_cascade, cv_round, scale_factors, truncate_cascade)
+from ..models.spec import CascadeSpec
+from ..ops.integral import integral_images
+from ..ops.resize import resize_bilinear_u8
+from .detector import DetectionResult, _build_clf_tables, _stage_paths
+from .grouping import group_rectangles
+
+__all__ = ["PyramidDetector", "PyramidPlan"]
+
+
+@dataclasses.dataclass(frozen=True)
+class _Level:
+    factor: float
+    h: int
+    w: int
+    oy: int          # canvas row offset
+    ystep: int       # 1 if factor > 2 else 2
+    win_w: int       # cvRound(w0 * factor): output box size
+    win_h: int
+
+
+@dataclasses.dataclass
+class PyramidPlan:
+    """Host-side static geometry of the packed pyramid."""
+
+    levels: List[_Level]
+    canvas_h: int
+    canvas_w: int
+
+    @classmethod
+    def build(cls, spec: CascadeSpec, image_shape: Tuple[int, int],
+              scale_factor: float, min_size: Tuple[int, int],
+              max_size: Optional[Tuple[int, int]]) -> "PyramidPlan":
+        H, W = image_shape
+        factors = scale_factors(spec.window_w, spec.window_h, W, H,
+                                scale_factor, min_size, max_size,
+                                mode="scale_image")
+        levels: List[_Level] = []
+        oy = 0
+        for f in factors:
+            h = int(cv_round(H / f))
+            w = int(cv_round(W / f))
+            levels.append(_Level(
+                factor=f, h=h, w=w, oy=oy,
+                ystep=1 if f > 2 else 2,
+                win_w=int(cv_round(spec.window_w * f)),
+                win_h=int(cv_round(spec.window_h * f))))
+            oy += h
+        cw = max((lv.w for lv in levels), default=1)
+        return cls(levels=levels, canvas_h=max(oy, 1), canvas_w=cw)
+
+    def visit_mask(self, w0: int, h0: int) -> np.ndarray:
+        """Static scan lattice on the canvas: the exact visit set of
+        HaarDetectObjects_ScaleImage_Invoker (y < lvl_h - h0 stepping
+        ystep; ditto x; tempcv.cpp:1015-1020,1092)."""
+        m = np.zeros((self.canvas_h + 1, self.canvas_w + 1), bool)
+        for lv in self.levels:
+            y2, x2 = lv.h - h0, lv.w - w0
+            if y2 <= 0 or x2 <= 0:
+                continue
+            ys = np.arange(0, y2, lv.ystep)
+            xs = np.arange(0, x2, lv.ystep)
+            m[np.ix_(lv.oy + ys, xs)] = True
+        return m
+
+    def boxes_for(self, cy: np.ndarray, cx: np.ndarray) -> np.ndarray:
+        """Map canvas scan positions to original-image boxes
+        (Rect(cvRound(x*f), cvRound(y*f), winW, winH), tempcv.cpp:1096)."""
+        starts = np.array([lv.oy for lv in self.levels])
+        idx = np.searchsorted(starts, cy, side="right") - 1
+        out = np.empty((len(cy), 4), np.int32)
+        for i, (yy, xx, k) in enumerate(zip(cy, cx, idx)):
+            lv = self.levels[int(k)]
+            out[i] = (int(cv_round(xx * lv.factor)),
+                      int(cv_round((yy - lv.oy) * lv.factor)),
+                      lv.win_w, lv.win_h)
+        return out
+
+
+class PyramidDetector:
+    """Compiled scale-image detector for one (cascade, frame shape) pair."""
+
+    def __init__(self, spec: CascadeSpec, image_shape: Tuple[int, int],
+                 scale_factor: float = 1.1,
+                 min_size: Tuple[int, int] = (0, 0),
+                 max_size: Optional[Tuple[int, int]] = None,
+                 front_stages: int = 3,
+                 cap: Optional[int] = None,
+                 dtype=jnp.float32,
+                 max_stages: Optional[int] = None):
+        self.spec = spec
+        self.H, self.W = int(image_shape[0]), int(image_shape[1])
+        self.dtype = dtype
+        c = compile_cascade(spec)
+        if max_stages is not None:
+            c = truncate_cascade(c, max_stages)
+        self.compiled = c
+        self.n_stages = c.spec.n_stages
+        self.is_tree = c.is_tree
+        self.paths = _stage_paths(c)
+        self.front_k = max(1, min(front_stages, self.n_stages))
+        self.plan = PyramidPlan.build(spec, image_shape, scale_factor,
+                                      min_size, max_size)
+        self.n_levels = len(self.plan.levels)
+        if self.n_levels == 0:
+            return
+
+        w0, h0 = spec.window_w, spec.window_h
+        self.w0, self.h0 = w0, h0
+        # unit-scale tables: static geometry, zero rounding
+        self.tables = _build_clf_tables(c, [1.0])
+        sc1 = c.at_scale(1.0)
+        self.equ_y = sc1.equ_corner_y     # (1,1,w0-2,h0-2) border rect
+        self.equ_x = sc1.equ_corner_x
+        self.inv_area = sc1.inv_area
+
+        vm = self.plan.visit_mask(w0, h0)
+        self._visit = jnp.asarray(vm)
+        self.n_visit = int(vm.sum())
+        if cap is None:
+            cap = int(2 ** np.ceil(np.log2(
+                min(max(self.n_visit // 16, 256), 16384))))
+        self.cap = min(int(cap), max(self.n_visit, 1))
+
+        self._build_stencils()
+        t = self.tables
+        self._consts = dict(
+            threshold=jnp.asarray(t.threshold),
+            left=jnp.asarray(t.left), right=jnp.asarray(t.right),
+            alpha=jnp.asarray(t.alpha),
+            clf_stage=jnp.asarray(t.clf_stage),
+            stage_threshold=jnp.asarray(c.stage_threshold),
+        )
+        pm = np.zeros((len(self.paths), self.n_stages), bool)
+        for i, p in enumerate(self.paths):
+            pm[i, p] = True
+        self._path_mask = jnp.asarray(pm)
+        self._pad = w0 + h0 + 4
+        self._jit_detect = jax.jit(self._detect_device)
+
+    # ------------------------------------------------------------------
+    def _build_stencils(self) -> None:
+        """Static [(h0+1)*(w0+1), n_clf*T] signed corner-weight matrices,
+        one over the sum-patch and (if needed) one over the tilted-patch."""
+        t = self.tables
+        P_h, P_w = self.h0 + 1, self.w0 + 1
+        P = P_h * P_w
+        N = t.n_clf * t.T
+        sten_sum = np.zeros((P, N), np.float32)
+        sten_tilt = np.zeros((P, N), np.float32) if self.compiled.has_tilted \
+            else None
+        signs = np.array([1.0, -1.0, -1.0, 1.0], np.float32)
+        cy = t.corner_y[0]   # [n_clf, T, 3, 4] at scale 1
+        cx = t.corner_x[0]
+        w = t.weight[0]      # [n_clf, T, 3]
+        for c in range(t.n_clf):
+            for tt in range(t.T):
+                col = c * t.T + tt
+                tilted = bool(t.use_tilted[c, tt])
+                target = sten_tilt if tilted else sten_sum
+                for k in range(3):
+                    wk = np.float32(w[c, tt, k])
+                    if wk == 0.0:
+                        continue
+                    for j in range(4):
+                        row = int(cy[c, tt, k, j]) * P_w + int(cx[c, tt, k, j])
+                        target[row, col] += signs[j] * wk
+        self._sten_sum = jnp.asarray(sten_sum)
+        self._sten_tilt = (jnp.asarray(sten_tilt)
+                           if sten_tilt is not None else None)
+
+    # ------------------------------------------------------------------
+    def _assemble_canvas(self, gray):
+        plan = self.plan
+        canvas = jnp.zeros((plan.canvas_h, plan.canvas_w), jnp.uint8)
+        for lv in plan.levels:
+            lvl = (gray if (lv.h, lv.w) == (self.H, self.W)
+                   else resize_bilinear_u8(gray, (lv.h, lv.w)))
+            canvas = jax.lax.dynamic_update_slice(canvas, lvl, (lv.oy, 0))
+        return canvas
+
+    def _rect_sum_map(self, img, oy, ox, shape):
+        """Static shifted slices (oy/ox are host ints)."""
+        return (img[oy[0]:oy[0] + shape[0], ox[0]:ox[0] + shape[1]]
+                - img[oy[1]:oy[1] + shape[0], ox[1]:ox[1] + shape[1]]
+                - img[oy[2]:oy[2] + shape[0], ox[2]:ox[2] + shape[1]]
+                + img[oy[3]:oy[3] + shape[0], ox[3]:ox[3] + shape[1]])
+
+    def _front_maps(self, planes, vnf, shape):
+        """Dense front-stage pass maps from static stencil slices."""
+        t = self.tables
+        spec = self.compiled.spec
+        dtype = self.dtype
+        stage_thr = self._consts["stage_threshold"]
+        cy = t.corner_y[0]
+        cx = t.corner_x[0]
+        wgt = t.weight[0]
+
+        def node_map(clf, tt):
+            img = planes["tilted"] if t.use_tilted[clf, tt] else planes["sum"]
+            v = None
+            for k in range(3):
+                wk = float(wgt[clf, tt, k])
+                if wk == 0.0:
+                    continue
+                rs = self._rect_sum_map(
+                    img, cy[clf, tt, k], cx[clf, tt, k], shape).astype(dtype)
+                term = rs * jnp.asarray(np.float32(wk)).astype(dtype)
+                v = term if v is None else v + term
+            return v if v is not None else jnp.zeros(shape, dtype)
+
+        def clf_map(clf):
+            nvals = [node_map(clf, tt)
+                     for tt in range(int(t.clf_valid_nodes[clf]))]
+
+            def walk(tt):
+                thr = jnp.asarray(t.threshold[clf, tt]).astype(dtype)
+                cond = nvals[tt] < thr * vnf
+                lf, rt = int(t.left[clf, tt]), int(t.right[clf, tt])
+                lval = (jnp.full(shape, t.alpha[clf, -lf], dtype)
+                        if lf <= 0 else walk(lf))
+                rval = (jnp.full(shape, t.alpha[clf, -rt], dtype)
+                        if rt <= 0 else walk(rt))
+                return jnp.where(cond, lval, rval)
+
+            return walk(0)
+
+        passes = []
+        for st in range(self.front_k):
+            c0 = int(spec.stage_clf_ofs[st])
+            cnt = int(spec.stage_clf_cnt[st])
+            ssum = jnp.zeros(shape, dtype)
+            for j in range(cnt):
+                ssum = ssum + clf_map(c0 + j)
+            passes.append(ssum >= stage_thr[st].astype(dtype))
+        return passes
+
+    def _tail_accept(self, planes, sy, sx, svnf):
+        """All-stage evaluation of compacted survivors via patch matmul."""
+        t = self.tables
+        dtype = self.dtype
+        cap = self.cap
+        P_h, P_w = self.h0 + 1, self.w0 + 1
+        dy = jnp.arange(P_h)
+        dx = jnp.arange(P_w)
+
+        def local_patch(img, full_correction):
+            """Window-local patch with magnitude-reducing correction.
+
+            A rect sum's corner signs are (+,-,-,+), so any per-window
+            term of the form a + f(dy) + g(dx) cancels out of it — for
+            *upright* corners, whose dx (and dy) values pair up.  Tilted
+            corners (tempcv.cpp:743-750) have four distinct dx, so only
+            the constant term cancels there: the tilted patch gets the
+            corner-only correction (values stay window-local-bounded in
+            float64; float32 fast mode tolerates the ~2-bit headroom
+            loss on large canvases).
+            """
+            gy = sy[:, None, None] + dy[None, :, None]
+            gx = sx[:, None, None] + dx[None, None, :]
+            corner = img[sy, sx][:, None, None]
+            r = img[gy, gx] - corner
+            if full_correction:
+                row0 = img[sy[:, None], sx[:, None] + dx[None, :]] \
+                    - img[sy, sx][:, None]
+                col0 = img[sy[:, None] + dy[None, :], sx[:, None]] \
+                    - img[sy, sx][:, None]
+                r = r - row0[:, None, :] - col0[:, :, None]
+            return r.reshape(cap, P_h * P_w).astype(dtype)
+
+        vals = local_patch(planes["sum"], True) @ self._sten_sum.astype(dtype)
+        if self._sten_tilt is not None:
+            vals = vals + (local_patch(planes["tilted"], False)
+                           @ self._sten_tilt.astype(dtype))
+        nv = vals.reshape(cap, t.n_clf, t.T)
+
+        # CART walk (unrolled T steps over host-known link tables)
+        consts = self._consts
+        ar = jnp.arange(t.n_clf)
+        idx = jnp.zeros((cap, t.n_clf), jnp.int32)
+        val = jnp.zeros((cap, t.n_clf), dtype)
+        done = jnp.zeros((cap, t.n_clf), bool)
+        for _t in range(t.T):
+            nvt = jnp.take_along_axis(nv, idx[..., None], axis=2)[..., 0]
+            tht = consts["threshold"][ar, idx].astype(dtype)
+            lf = consts["left"][ar, idx]
+            rt = consts["right"][ar, idx]
+            nxt = jnp.where(nvt < tht * svnf[:, None], lf, rt)
+            leaf = nxt <= 0
+            av = consts["alpha"][ar, jnp.clip(-nxt, 0, t.T)].astype(dtype)
+            val = jnp.where(leaf & ~done, av, val)
+            done = done | leaf
+            idx = jnp.clip(nxt, 0, t.T - 1)
+
+        seg = jax.ops.segment_sum(val.T, consts["clf_stage"],
+                                  num_segments=self.n_stages)
+        st_pass = (seg >= consts["stage_threshold"][:, None]
+                   .astype(dtype)).T
+        if self.is_tree:
+            pm = self._path_mask
+            per_path = jnp.all(st_pass[:, None, :] | ~pm[None], axis=-1)
+            return jnp.any(per_path, axis=-1)
+        if self.front_k < self.n_stages:
+            return jnp.all(st_pass[:, self.front_k:], axis=-1)
+        return jnp.ones((cap,), bool)
+
+    def _detect_device(self, gray):
+        c = self.compiled
+        dtype = self.dtype
+        canvas = self._assemble_canvas(gray)
+        ii = integral_images(canvas, with_tilted=c.has_tilted)
+        padw = [(0, self._pad), (0, self._pad)]
+        planes = {"sum": jnp.pad(ii.sum, padw)}
+        if c.has_tilted:
+            planes["tilted"] = jnp.pad(ii.tilted, padw)
+        shape = (self.plan.canvas_h + 1, self.plan.canvas_w + 1)
+
+        # variance map (equ rect = (1,1,w0-2,h0-2), tempcv.cpp:1276-1278)
+        sq_hi = jnp.pad(ii.sq_hi, padw)
+        sq_lo = jnp.pad(ii.sq_lo, padw)
+        win_sum = self._rect_sum_map(planes["sum"], self.equ_y, self.equ_x,
+                                     shape).astype(dtype)
+        hi = self._rect_sum_map(sq_hi, self.equ_y, self.equ_x,
+                                shape).astype(dtype)
+        lo = self._rect_sum_map(sq_lo, self.equ_y, self.equ_x,
+                                shape).astype(dtype)
+        win_sq = hi * jnp.asarray(256.0, dtype) + lo
+        inv_area = jnp.asarray(self.inv_area).astype(dtype)
+        mean = win_sum * inv_area
+        var = win_sq * inv_area - mean * mean
+        vnf = jnp.where(var >= 0, jnp.sqrt(jnp.maximum(var, 0)),
+                        jnp.ones_like(var))
+
+        passes = self._front_maps(planes, vnf, shape)
+        front = self._visit
+        for p in passes:
+            front = front & p
+
+        flat = front.reshape(-1)
+        n_surv = jnp.sum(flat.astype(jnp.int32))
+        n_flat = flat.shape[0]
+        (surv_idx,) = jnp.nonzero(flat, size=self.cap, fill_value=n_flat)
+        valid = surv_idx < n_flat
+        surv_c = jnp.where(valid, surv_idx, 0)
+        sy = surv_c // shape[1]
+        sx = surv_c % shape[1]
+        svnf = vnf.reshape(-1)[surv_c]
+
+        accept = self._tail_accept(planes, sy, sx, svnf) & valid
+        return dict(sy=sy, sx=sx, ok=accept, n_surv=n_surv)
+
+    # ------------------------------------------------------------------
+    def candidates(self, gray) -> Tuple[np.ndarray, bool]:
+        """Raw candidates (x, y, w, h) in original-image coordinates."""
+        if self.n_levels == 0:
+            return np.zeros((0, 4), np.int32), False
+        gray = jnp.asarray(gray, jnp.uint8)
+        out = jax.tree_util.tree_map(np.asarray, self._jit_detect(gray))
+        while bool(out["n_surv"] > self.cap) and self.cap < self.n_visit:
+            self.cap = min(self.cap * 4, self.n_visit)
+            self._jit_detect = jax.jit(self._detect_device)
+            out = jax.tree_util.tree_map(np.asarray, self._jit_detect(gray))
+        ok = out["ok"]
+        if not ok.any():
+            return np.zeros((0, 4), np.int32), bool(out["n_surv"] > self.cap)
+        boxes = self.plan.boxes_for(out["sy"][ok], out["sx"][ok])
+        return boxes, bool(out["n_surv"] > self.cap)
+
+    def detect(self, gray, min_neighbors: int = 3) -> DetectionResult:
+        cand, overflow = self.candidates(gray)
+        if min_neighbors != 0:
+            boxes, neigh = group_rectangles(cand, max(min_neighbors, 1),
+                                            eps=0.2)
+        else:
+            boxes, neigh = cand, np.ones(len(cand), np.int32)
+        return DetectionResult(boxes=boxes, neighbors=neigh,
+                               candidates=cand, survivor_overflow=overflow)

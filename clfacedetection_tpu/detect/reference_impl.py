@@ -192,7 +192,7 @@ def detect_multi_scale_reference(
                                            scaled.win_w, scaled.win_h))
                     ix += 1 if res != 0 else 2
     elif mode == "scale_image":
-        import cv2
+        from ..ops.resize import resize_bilinear_u8_np
         w0, h0 = spec.window_w, spec.window_h
         scaled = compiled.at_scale(1.0)
         # scale-image normalization rect is the fixed (1,1,w0-2,h0-2)
@@ -203,8 +203,9 @@ def detect_multi_scale_reference(
             win_h = int(cv_round(h0 * f))
             sz_w = int(cv_round(W / f))
             sz_h = int(cv_round(H / f))
-            lvl = cv2.resize(gray, (sz_w, sz_h),
-                             interpolation=cv2.INTER_LINEAR)
+            # pinned 2.4-era fixed-point resize (see ops/resize.py; shared
+            # bit-exactly with the TPU pyramid path)
+            lvl = resize_bilinear_u8_np(gray, (sz_h, sz_w))
             s_img, sq_img, t_img = _integrals(lvl, compiled.has_tilted)
             ev = RefWindowEvaluator(compiled, scaled, s_img, sq_img, t_img)
             ystep = 1 if f > 2 else 2
