@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Headline benchmark: 1080p frames/sec/chip, haarcascade_frontalface_alt,
+full multi-scale detection (scaleFactor 1.1, minNeighbors 3, minSize 40x40).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "fps", "vs_baseline": N}
+
+Baseline (BASELINE.md north star): >= 2000 fps/chip.  The loop is honest
+per-frame work: host->device transfer of the uint8 frame batch, the whole
+compiled multi-scale program, device->host readback of the padded survivor
+buffers, and host-side grouping of the candidates.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_FPS = 2000.0
+
+
+def main() -> None:
+    import jax
+    from clfacedetection_tpu.models import load_cascade
+    from clfacedetection_tpu.runtime import BatchedPyramidDetector
+    from clfacedetection_tpu.utils import synth_scene
+
+    spec = load_cascade("haarcascade_frontalface_alt")
+    frame = synth_scene(
+        (1080, 1920),
+        faces=[(300, 400, 80.0), (700, 1300, 120.0), (500, 900, 60.0)])
+
+    best_fps = 0.0
+    best_cfg = None
+    for batch in (int(v) for v in
+                  os.environ.get("CLFD_BENCH_BATCHES", "1,8").split(",")):
+        frames = np.broadcast_to(frame, (batch,) + frame.shape).copy()
+        det = BatchedPyramidDetector(spec, frame.shape, batch,
+                                     min_size=(40, 40))
+        # warm-up: full path incl. potential cap regrowth
+        res = det.detect(frames, min_neighbors=3)
+        n_boxes = len(res[0].boxes)
+        # timed loop (host->device, device program, readback, grouping)
+        reps = max(1, int(os.environ.get("CLFD_BENCH_REPS", "10")))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            res = det.detect(frames, min_neighbors=3)
+        dt = (time.perf_counter() - t0) / (reps * batch)
+        fps = 1.0 / dt
+        print(f"# batch={batch}: {dt*1e3:.2f} ms/frame = {fps:.1f} fps "
+              f"({n_boxes} faces)", file=sys.stderr)
+        if fps > best_fps:
+            best_fps, best_cfg = fps, batch
+
+    print(json.dumps({
+        "metric": "1080p_frontalface_alt_detect_fps_per_chip",
+        "value": round(best_fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(best_fps / BASELINE_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
