@@ -15,6 +15,7 @@ variant available as ``variant="clod"`` for behavioral-parity studies.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import numpy as np
@@ -88,6 +89,14 @@ def group_rectangles(boxes: np.ndarray, group_threshold: int,
     boxes = np.asarray(boxes, np.int64).reshape(-1, 4)
     if group_threshold <= 0 or len(boxes) == 0:
         return boxes.astype(np.int32), np.ones(len(boxes), np.int32)
+
+    # Prefer the native C++ twin (same semantics, O(n^2) loops in C); the
+    # Python path below is the specification and fallback.
+    if os.environ.get("CLFD_NO_NATIVE") != "1":
+        from ..native import group_rectangles_native
+        out = group_rectangles_native(boxes, group_threshold, eps, variant)
+        if out is not None:
+            return out
 
     labels, ncls = partition_similar(boxes, eps)
     sums = np.zeros((ncls, 4), np.int64)

@@ -134,9 +134,10 @@ class PyramidDetector:
                  scale_factor: float = 1.1,
                  min_size: Tuple[int, int] = (0, 0),
                  max_size: Optional[Tuple[int, int]] = None,
-                 front_stages: int = 3,
+                 front_stages: int = 4,
                  cap: Optional[int] = None,
                  dtype=jnp.float32,
+                 tail_chunk: int = 8192,
                  max_stages: Optional[int] = None):
         self.spec = spec
         self.H, self.W = int(image_shape[0]), int(image_shape[1])
@@ -171,6 +172,7 @@ class PyramidDetector:
             cap = int(2 ** np.ceil(np.log2(
                 min(max(self.n_visit // 16, 256), 16384))))
         self.cap = min(int(cap), max(self.n_visit, 1))
+        self.tail_chunk = int(tail_chunk)
 
         self._build_stencils()
         t = self.tables
@@ -286,10 +288,33 @@ class PyramidDetector:
         return passes
 
     def _tail_accept(self, planes, sy, sx, svnf):
-        """All-stage evaluation of compacted survivors via patch matmul."""
+        """All-stage evaluation of compacted survivors via patch matmul,
+        chunked over survivors so peak memory is O(chunk * n_nodes)
+        whatever the cap grows to."""
+        cap = self.cap
+        chunk = min(self.tail_chunk, cap)
+        n_chunks = -(-cap // chunk)
+        padc = n_chunks * chunk
+
+        def pad(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((padc - cap,) + a.shape[1:], a.dtype)], 0) \
+                if padc != cap else a
+
+        xs = dict(sy=pad(sy).reshape(n_chunks, chunk),
+                  sx=pad(sx).reshape(n_chunks, chunk),
+                  svnf=pad(svnf).reshape(n_chunks, chunk))
+
+        def body(_, cxs):
+            return None, self._tail_accept_chunk(
+                planes, cxs["sy"], cxs["sx"], cxs["svnf"], chunk)
+
+        _, acc = jax.lax.scan(body, None, xs)
+        return acc.reshape(padc)[:cap]
+
+    def _tail_accept_chunk(self, planes, sy, sx, svnf, cap):
         t = self.tables
         dtype = self.dtype
-        cap = self.cap
         P_h, P_w = self.h0 + 1, self.w0 + 1
         dy = jnp.arange(P_h)
         dx = jnp.arange(P_w)
