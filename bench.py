@@ -24,7 +24,15 @@ BASELINE_FPS = 2000.0
 
 
 def main() -> None:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/.cache/jax_comp")
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     from clfacedetection_tpu.models import load_cascade
     from clfacedetection_tpu.runtime import BatchedPyramidDetector
     from clfacedetection_tpu.utils import synth_scene

@@ -126,6 +126,28 @@ class CascadeClassifier:
             **knobs)
         return res.boxes
 
+    def detect_multi_scale3(self, image,
+                            scale_factor: float = 1.1,
+                            min_neighbors: int = 3,
+                            min_size: Tuple[int, int] = (0, 0),
+                            max_size: Optional[Tuple[int, int]] = None,
+                            **knobs):
+        """ROC variant (cv2's detectMultiScale3 / outputRejectLevels):
+        returns (boxes, reject_levels, level_weights).  Scale-image mode
+        only (the reference's ROC path lives in the ScaleImage invoker,
+        tempcv.cpp:1084-1095)."""
+        if self.mode != "scale_image":
+            raise ValueError("reject levels require mode='scale_image'")
+        gray = _to_gray(image)
+        det = self._detector(gray.shape, scale_factor, min_size, max_size,
+                             output_levels=True, **knobs)
+        boxes, levels, weights, _ = det.candidates_with_levels(gray)
+        if min_neighbors != 0:
+            from .detect.grouping import group_rectangles_levels
+            return group_rectangles_levels(boxes, levels, weights,
+                                           min_neighbors, eps=0.2)
+        return boxes, levels, weights
+
     def detect_multi_scale_full(self, image,
                                 scale_factor: float = 1.1,
                                 min_neighbors: int = 3,

@@ -374,10 +374,10 @@ class ScaleCascadeDetector:
         lat_vnf = vnf[yc[:, None], xc[None, :]]
 
         # ---- compact front survivors (static cap) ------------------------
+        from .pyramid import _compact
         n_lat = self.max_y * self.max_x
         flat = lat_front.reshape(-1)
-        n_surv = jnp.sum(flat.astype(jnp.int32))
-        (surv_idx,) = jnp.nonzero(flat, size=cap, fill_value=n_lat)
+        surv_idx, n_surv = _compact(flat, cap)
         valid = surv_idx < n_lat
         surv_idx_c = jnp.where(valid, surv_idx, 0)
         siy = surv_idx_c // self.max_x
@@ -463,27 +463,23 @@ class ScaleCascadeDetector:
             # rect-ordered sum, matching the oracle's accumulation order
             nv = rs[..., 0] * w[..., 0] + rs[..., 1] * w[..., 1] \
                 + rs[..., 2] * w[..., 2]              # [cap, ck, T]
-            ar = jnp.arange(ck)
-            idx = jnp.zeros((cap, ck), jnp.int32)
-            val = jnp.zeros((cap, ck), dtype)
-            done = jnp.zeros((cap, ck), bool)
-            for _t in range(T):
-                nvt = jnp.take_along_axis(nv, idx[..., None], axis=2)[..., 0]
-                tht = cxs["thr"][ar, idx].astype(dtype)
-                lf = cxs["left"][ar, idx]
-                rt = cxs["right"][ar, idx]
-                nxt = jnp.where(nvt < tht * svnf[:, None], lf, rt)
-                leaf = nxt <= 0
-                av = cxs["alpha"][ar, jnp.clip(-nxt, 0, T)].astype(dtype)
-                val = jnp.where(leaf & ~done, av, val)
-                done = done | leaf
-                idx = jnp.clip(nxt, 0, T - 1)
+            from .pyramid import _cart_votes
+            val = _cart_votes(
+                nv, svnf,
+                dict(threshold=cxs["thr"], left=cxs["left"],
+                     right=cxs["right"], alpha=cxs["alpha"]),
+                T, dtype)
             return None, val
 
         _, votes = jax.lax.scan(chunk_votes, None, chunk_in)
         votes = jnp.moveaxis(votes, 0, 1).reshape(cap, padded)[:, :n_clf]
-        seg = jax.ops.segment_sum(votes.T, consts["clf_stage"],
-                                  num_segments=self.n_stages)
+        # per-stage sums via static slices (avoids TPU scatter-add)
+        spec = c.spec
+        seg = jnp.stack(
+            [jnp.sum(votes[:, int(spec.stage_clf_ofs[s]):
+                           int(spec.stage_clf_ofs[s])
+                           + int(spec.stage_clf_cnt[s])], axis=1)
+             for s in range(self.n_stages)], axis=0)
         st_pass = (seg >= self._consts["stage_threshold"][:, None]
                    .astype(dtype)).T                   # [cap, n_stages]
         if self.is_tree:

@@ -20,7 +20,8 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["group_rectangles", "partition_similar"]
+__all__ = ["group_rectangles", "group_rectangles_levels",
+           "partition_similar"]
 
 
 def _similar(r1: np.ndarray, r2: np.ndarray, eps: float) -> bool:
@@ -144,3 +145,67 @@ def group_rectangles(boxes: np.ndarray, group_threshold: int,
     if not keep:
         return np.zeros((0, 4), np.int32), np.zeros((0,), np.int32)
     return np.stack(keep).astype(np.int32), np.asarray(out_n, np.int32)
+
+
+def group_rectangles_levels(boxes: np.ndarray, reject_levels: np.ndarray,
+                            level_weights: np.ndarray, group_threshold: int,
+                            eps: float = 0.2):
+    """ROC-output grouping overload (tempcv.cpp:162-186, 213-216, 240-243):
+    each class reports the max member reject level (ties broken by larger
+    level weight); the keep test uses the class's reject level against
+    ``group_threshold`` while containment still uses member counts.
+
+    Returns (boxes [m,4], reject_levels [m], level_weights [m]).
+    """
+    boxes = np.asarray(boxes, np.int64).reshape(-1, 4)
+    reject_levels = np.asarray(reject_levels, np.int64)
+    level_weights = np.asarray(level_weights, np.float64)
+    if group_threshold <= 0 or len(boxes) == 0:
+        return (boxes.astype(np.int32), reject_levels.astype(np.int32),
+                level_weights)
+
+    labels, ncls = partition_similar(boxes, eps)
+    sums = np.zeros((ncls, 4), np.int64)
+    np.add.at(sums, labels, boxes)
+    counts = np.bincount(labels, minlength=ncls).astype(np.int32)
+    cls_level = np.zeros(ncls, np.int64)
+    cls_weight = np.full(ncls, np.finfo(np.float64).tiny)
+    for i, cls in enumerate(labels):
+        if reject_levels[i] > cls_level[cls]:
+            cls_level[cls] = reject_levels[i]
+            cls_weight[cls] = level_weights[i]
+        elif reject_levels[i] == cls_level[cls] \
+                and level_weights[i] > cls_weight[cls]:
+            cls_weight[cls] = level_weights[i]
+    s = (np.float32(1.0) / counts.astype(np.float32))[:, None]
+    rrects = (sums.astype(np.float32) * s).astype(np.int64)
+
+    out_b, out_l, out_w = [], [], []
+    for i in range(ncls):
+        r1 = rrects[i]
+        n1 = int(cls_level[i])
+        if n1 <= group_threshold:
+            continue
+        contained = False
+        for j in range(ncls):
+            n2 = int(counts[j])
+            if j == i or n2 <= group_threshold:
+                continue
+            r2 = rrects[j]
+            dx = int(r2[2] * eps)
+            dy = int(r2[3] * eps)
+            if (r1[0] >= r2[0] - dx and r1[1] >= r2[1] - dy
+                    and r1[0] + r1[2] <= r2[0] + r2[2] + dx
+                    and r1[1] + r1[3] <= r2[1] + r2[3] + dy
+                    and (n2 > max(3, n1) or n1 < 3)):
+                contained = True
+                break
+        if not contained:
+            out_b.append(r1)
+            out_l.append(n1)
+            out_w.append(float(cls_weight[i]))
+    if not out_b:
+        return (np.zeros((0, 4), np.int32), np.zeros(0, np.int32),
+                np.zeros(0, np.float64))
+    return (np.stack(out_b).astype(np.int32),
+            np.asarray(out_l, np.int32), np.asarray(out_w, np.float64))

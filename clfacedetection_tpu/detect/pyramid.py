@@ -58,6 +58,75 @@ from .grouping import group_rectangles
 __all__ = ["PyramidDetector", "PyramidPlan"]
 
 
+def _cart_votes(nv, svnf, tables, T, dtype):
+    """Classifier votes from node values — select-based CART walk.
+
+    ``nv`` is [cap, n_clf, T] node values, ``svnf`` [cap] variance factors,
+    ``tables`` a dict with threshold [n_clf, T], left/right [n_clf, T],
+    alpha [n_clf, T+1].  Scattered table lookups (``thr[clf, idx]`` with a
+    traced ``idx``) lower to catastrophically slow per-element gathers on
+    TPU; with T <= 3 everywhere in the zoo, every lookup is instead T (or
+    T+1) vectorized selects over broadcast constant tables — pure VPU work.
+    """
+    thr = tables["threshold"].astype(dtype)      # [n_clf, T] constants
+    left, right = tables["left"], tables["right"]
+    alpha = tables["alpha"].astype(dtype)        # [n_clf, T+1]
+    # per-node decision bits: compare once, walk on booleans
+    cmp = nv < thr[None] * svnf[:, None, None]   # [cap, n_clf, T]
+    if T == 1:
+        # stump fast path: leaf links are 0 / -k constants
+        a_l = alpha[jnp.arange(alpha.shape[0]), -left[:, 0]][None]
+        a_r = alpha[jnp.arange(alpha.shape[0]), -right[:, 0]][None]
+        return jnp.where(cmp[..., 0], a_l, a_r)
+
+    def sel(table_cap_t, idx):
+        """table[..., idx] via T selects (no gather)."""
+        out = table_cap_t[..., 0] if table_cap_t.ndim == 3 else \
+            jnp.broadcast_to(table_cap_t[None, :, 0], idx.shape).astype(
+                table_cap_t.dtype)
+        for k in range(1, table_cap_t.shape[-1]):
+            cand = table_cap_t[..., k] if table_cap_t.ndim == 3 else \
+                jnp.broadcast_to(table_cap_t[None, :, k], idx.shape).astype(
+                    table_cap_t.dtype)
+            out = jnp.where(idx == k, cand, out)
+        return out
+
+    cap, n_clf = nv.shape[0], nv.shape[1]
+    idx = jnp.zeros((cap, n_clf), jnp.int32)
+    val = jnp.zeros((cap, n_clf), dtype)
+    done = jnp.zeros((cap, n_clf), bool)
+    for _t in range(T):
+        c = sel(cmp, idx)
+        lf = sel(left, idx)
+        rt = sel(right, idx)
+        nxt = jnp.where(c, lf, rt)
+        leaf = nxt <= 0
+        av = sel(alpha, jnp.clip(-nxt, 0, alpha.shape[-1] - 1))
+        val = jnp.where(leaf & ~done, av, val)
+        done = done | leaf
+        idx = jnp.clip(nxt, 0, T - 1)
+    return val
+
+
+def _compact(flat_bool, cap):
+    """Ordered stream compaction with a static cap: indices of the first
+    ``cap`` True entries (ascending), padded with ``len(flat)``.
+
+    ``jnp.nonzero(size=...)`` lowers to a full sort on TPU (~35 ms on a
+    5M-entry canvas); one exclusive cumsum + one scatter does the same job
+    in bandwidth-bound time.  Also returns the total True count.
+    """
+    n = flat_bool.shape[0]
+    ones = flat_bool.astype(jnp.int32)
+    pos = jnp.cumsum(ones) - ones          # exclusive prefix: output slot
+    n_true = pos[-1] + ones[-1]
+    slot = jnp.where(flat_bool & (pos < cap), pos, cap)
+    src = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    out = jnp.full((cap + 1,), n, jnp.int32).at[slot].set(
+        src, mode="drop", unique_indices=False)
+    return out[:cap], n_true
+
+
 @dataclasses.dataclass(frozen=True)
 class _Level:
     factor: float
@@ -138,7 +207,8 @@ class PyramidDetector:
                  cap: Optional[int] = None,
                  dtype=jnp.float32,
                  tail_chunk: int = 8192,
-                 max_stages: Optional[int] = None):
+                 max_stages: Optional[int] = None,
+                 output_levels: bool = False):
         self.spec = spec
         self.H, self.W = int(image_shape[0]), int(image_shape[1])
         self.dtype = dtype
@@ -150,6 +220,14 @@ class PyramidDetector:
         self.is_tree = c.is_tree
         self.paths = _stage_paths(c)
         self.front_k = max(1, min(front_stages, self.n_stages))
+        self.output_levels = bool(output_levels)
+        if self.output_levels:
+            if self.is_tree:
+                raise ValueError("reject levels unsupported for stage-tree "
+                                 "cascades on the TPU path")
+            # windows rejected within 4 stages of the end are reported
+            # (tempcv.cpp:1087), so they must reach the tail evaluation
+            self.front_k = max(1, min(self.front_k, self.n_stages - 4))
         self.plan = PyramidPlan.build(spec, image_shape, scale_factor,
                                       min_size, max_size)
         self.n_levels = len(self.plan.levels)
@@ -309,8 +387,9 @@ class PyramidDetector:
             return None, self._tail_accept_chunk(
                 planes, cxs["sy"], cxs["sx"], cxs["svnf"], chunk)
 
-        _, acc = jax.lax.scan(body, None, xs)
-        return acc.reshape(padc)[:cap]
+        _, out = jax.lax.scan(body, None, xs)
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape((padc,) + a.shape[2:])[:cap], out)
 
     def _tail_accept_chunk(self, planes, sy, sx, svnf, cap):
         t = self.tables
@@ -343,41 +422,48 @@ class PyramidDetector:
                 r = r - row0[:, None, :] - col0[:, :, None]
             return r.reshape(cap, P_h * P_w).astype(dtype)
 
-        vals = local_patch(planes["sum"], True) @ self._sten_sum.astype(dtype)
+        # precision=HIGHEST keeps the MXU in full-f32 mode; the TPU default
+        # would demote operands to bf16, whose 8-bit mantissa destroys
+        # integral-patch values (~1e5) and with them every rect sum.
+        dot = lambda a, b: jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=dtype)
+        vals = dot(local_patch(planes["sum"], True),
+                   self._sten_sum.astype(dtype))
         if self._sten_tilt is not None:
-            vals = vals + (local_patch(planes["tilted"], False)
-                           @ self._sten_tilt.astype(dtype))
+            vals = vals + dot(local_patch(planes["tilted"], False),
+                              self._sten_tilt.astype(dtype))
         nv = vals.reshape(cap, t.n_clf, t.T)
-
-        # CART walk (unrolled T steps over host-known link tables)
-        consts = self._consts
-        ar = jnp.arange(t.n_clf)
-        idx = jnp.zeros((cap, t.n_clf), jnp.int32)
-        val = jnp.zeros((cap, t.n_clf), dtype)
-        done = jnp.zeros((cap, t.n_clf), bool)
-        for _t in range(t.T):
-            nvt = jnp.take_along_axis(nv, idx[..., None], axis=2)[..., 0]
-            tht = consts["threshold"][ar, idx].astype(dtype)
-            lf = consts["left"][ar, idx]
-            rt = consts["right"][ar, idx]
-            nxt = jnp.where(nvt < tht * svnf[:, None], lf, rt)
-            leaf = nxt <= 0
-            av = consts["alpha"][ar, jnp.clip(-nxt, 0, t.T)].astype(dtype)
-            val = jnp.where(leaf & ~done, av, val)
-            done = done | leaf
-            idx = jnp.clip(nxt, 0, t.T - 1)
-
-        seg = jax.ops.segment_sum(val.T, consts["clf_stage"],
-                                  num_segments=self.n_stages)
-        st_pass = (seg >= consts["stage_threshold"][:, None]
+        val = _cart_votes(nv, svnf, self._consts, t.T, dtype)
+        # per-stage sums via static slices (classifiers are contiguous per
+        # stage) — segment_sum would lower to a slow TPU scatter-add
+        spec = self.compiled.spec
+        seg = jnp.stack(
+            [jnp.sum(val[:, int(spec.stage_clf_ofs[s]):
+                         int(spec.stage_clf_ofs[s])
+                         + int(spec.stage_clf_cnt[s])], axis=1)
+             for s in range(self.n_stages)], axis=0)    # [n_stages, cap]
+        st_pass = (seg >= self._consts["stage_threshold"][:, None]
                    .astype(dtype)).T
         if self.is_tree:
             pm = self._path_mask
             per_path = jnp.all(st_pass[:, None, :] | ~pm[None], axis=-1)
-            return jnp.any(per_path, axis=-1)
-        if self.front_k < self.n_stages:
-            return jnp.all(st_pass[:, self.front_k:], axis=-1)
-        return jnp.ones((cap,), bool)
+            accept = jnp.any(per_path, axis=-1)
+        elif self.front_k < self.n_stages:
+            accept = jnp.all(st_pass[:, self.front_k:], axis=-1)
+        else:
+            accept = jnp.ones((cap,), bool)
+        out = dict(accept=accept)
+        if self.output_levels:
+            # exit stage under sequential semantics: first failing stage
+            # (survivors passed the whole front prefix), n_stages on pass
+            all_pass = jnp.all(st_pass, axis=1)
+            first_fail = jnp.argmax(~st_pass, axis=1)
+            level = jnp.where(all_pass, self.n_stages, first_fail)
+            widx = jnp.minimum(level, self.n_stages - 1)
+            weight = jnp.take_along_axis(seg.T, widx[:, None], axis=1)[:, 0]
+            out["level"] = level.astype(jnp.int32)
+            out["weight"] = weight
+        return out
 
     def _detect_device(self, gray):
         c = self.compiled
@@ -412,17 +498,25 @@ class PyramidDetector:
             front = front & p
 
         flat = front.reshape(-1)
-        n_surv = jnp.sum(flat.astype(jnp.int32))
         n_flat = flat.shape[0]
-        (surv_idx,) = jnp.nonzero(flat, size=self.cap, fill_value=n_flat)
+        surv_idx, n_surv = _compact(flat, self.cap)
         valid = surv_idx < n_flat
         surv_c = jnp.where(valid, surv_idx, 0)
         sy = surv_c // shape[1]
         sx = surv_c % shape[1]
         svnf = vnf.reshape(-1)[surv_c]
 
-        accept = self._tail_accept(planes, sy, sx, svnf) & valid
-        return dict(sy=sy, sx=sx, ok=accept, n_surv=n_surv)
+        tail = self._tail_accept(planes, sy, sx, svnf)
+        accept = tail["accept"] & valid
+        out = dict(sy=sy, sx=sx, ok=accept, n_surv=n_surv)
+        if self.output_levels:
+            # ROC path (tempcv.cpp:1084-1095): report every window whose
+            # exit stage is within 4 of the end, pass or fail
+            out["ok_roc"] = (tail["accept"]
+                             | (self.n_stages - tail["level"] < 4)) & valid
+            out["level"] = tail["level"]
+            out["weight"] = tail["weight"]
+        return out
 
     # ------------------------------------------------------------------
     def candidates(self, gray) -> Tuple[np.ndarray, bool]:
@@ -440,6 +534,28 @@ class PyramidDetector:
             return np.zeros((0, 4), np.int32), bool(out["n_surv"] > self.cap)
         boxes = self.plan.boxes_for(out["sy"][ok], out["sx"][ok])
         return boxes, bool(out["n_surv"] > self.cap)
+
+    def candidates_with_levels(self, gray):
+        """(boxes, reject_levels, level_weights, overflow) — ROC output;
+        requires output_levels=True at construction."""
+        assert self.output_levels, "build with output_levels=True"
+        if self.n_levels == 0:
+            return (np.zeros((0, 4), np.int32), np.zeros(0, np.int32),
+                    np.zeros(0, np.float64), False)
+        gray = jnp.asarray(gray, jnp.uint8)
+        out = jax.tree_util.tree_map(np.asarray, self._jit_detect(gray))
+        while bool(out["n_surv"] > self.cap) and self.cap < self.n_visit:
+            self.cap = min(self.cap * 4, self.n_visit)
+            self._jit_detect = jax.jit(self._detect_device)
+            out = jax.tree_util.tree_map(np.asarray, self._jit_detect(gray))
+        ok = out["ok_roc"]
+        overflow = bool(out["n_surv"] > self.cap)
+        if not ok.any():
+            return (np.zeros((0, 4), np.int32), np.zeros(0, np.int32),
+                    np.zeros(0, np.float64), overflow)
+        boxes = self.plan.boxes_for(out["sy"][ok], out["sx"][ok])
+        return (boxes, out["level"][ok].astype(np.int32),
+                out["weight"][ok].astype(np.float64), overflow)
 
     def detect(self, gray, min_neighbors: int = 3) -> DetectionResult:
         cand, overflow = self.candidates(gray)

@@ -99,12 +99,16 @@ class RefWindowEvaluator:
         return total
 
     def run(self, x: int, y: int) -> int:
-        """cvRunHaarClassifierCascadeSum return codes: 1 pass, -i fail at
-        stage i (stump/CART cascades), 0 fail (stage-tree cascades),
-        -1 out of bounds."""
+        return self.run_sum(x, y)[0]
+
+    def run_sum(self, x: int, y: int):
+        """cvRunHaarClassifierCascadeSum: (code, stage_sum).  Codes: 1 pass,
+        -i fail at stage i (stump/CART cascades), 0 fail (stage-tree
+        cascades), -1 out of bounds.  ``stage_sum`` is the sum of the stage
+        where evaluation stopped (the ROC gypWeight, tempcv.cpp:1083)."""
         if x < 0 or y < 0 or x + self.s.win_w >= self.W + 1 \
                 or y + self.s.win_h >= self.H + 1:
-            return -1
+            return -1, 0.0
         # Variance normalization over the equalization rect.
         cy = self.s.equ_corner_y + y
         cx = self.s.equ_corner_x + x
@@ -119,27 +123,29 @@ class RefWindowEvaluator:
         if self.c.is_tree:
             # DFS over the stage tree (tempcv.cpp:834-861).
             ptr = 0
+            ss = 0.0
             while ptr is not None:
                 ss = self._stage_sum(ptr, vnf, x, y)
                 if ss >= float(self.c.stage_threshold[ptr]):
                     child = int(self.c.stage_child[ptr])
                     if child == -1:
-                        return 1
+                        return 1, ss
                     ptr = child
                 else:
                     while ptr is not None and int(self.c.stage_next[ptr]) == -1:
                         p = int(self.c.stage_parent[ptr])
                         ptr = p if p != -1 else None
                     if ptr is None:
-                        return 0
+                        return 0, ss
                     ptr = int(self.c.stage_next[ptr])
-            return 1
+            return 1, ss
         else:
+            ss = 0.0
             for i in range(self.c.spec.n_stages):
                 ss = self._stage_sum(i, vnf, x, y)
                 if ss < float(self.c.stage_threshold[i]):
-                    return -i
-            return 1
+                    return -i, ss
+            return 1, ss
 
 
 def _integrals(gray: np.ndarray, need_tilted: bool):
@@ -161,19 +167,30 @@ def detect_multi_scale_reference(
         max_size: Optional[Tuple[int, int]] = None,
         mode: str = "scale_cascade",
         max_stages: Optional[int] = None,
+        output_reject_levels: bool = False,
 ) -> np.ndarray:
-    """Full-pipeline golden detector. Returns int32 boxes [n, 4] (x,y,w,h).
+    """Full-pipeline golden detector. Returns int32 boxes [n, 4] (x,y,w,h),
+    or (boxes, reject_levels, level_weights) with
+    ``output_reject_levels=True`` (scale_image mode only — the ROC path of
+    HaarDetectObjects_ScaleImage_Invoker, tempcv.cpp:1084-1095: every
+    window surviving to within 4 stages of the end is reported with its
+    exit stage and that stage's sum).
 
     ``max_stages`` truncates the cascade (keeps candidate sets non-empty on
     synthetic test images; parity tests compare truncated-cascade candidate
     sets between oracle and TPU path).
     """
     assert gray.ndim == 2 and gray.dtype == np.uint8
+    if output_reject_levels and mode != "scale_image":
+        raise ValueError("reject levels only exist in scale_image mode")
     compiled = compile_cascade(spec)
     if max_stages is not None:
         compiled = truncate_cascade(compiled, max_stages)
     H, W = gray.shape
     candidates: List[Tuple[int, int, int, int]] = []
+    rej_levels: List[int] = []
+    rej_weights: List[float] = []
+    n_stages = compiled.spec.n_stages
 
     factors = scale_factors(spec.window_w, spec.window_h, W, H,
                             scale_factor, min_size, max_size, mode=mode)
@@ -214,7 +231,17 @@ def detect_multi_scale_reference(
             x2 = sz_w - w0
             for y in range(0, max(y2, 0), ystep):
                 for x in range(0, max(x2, 0), ystep):
-                    if ev.run(x, y) > 0:
+                    result, gyp = ev.run_sum(x, y)
+                    if output_reject_levels:
+                        if result == 1:
+                            result = -n_stages
+                        if n_stages + result < 4:
+                            candidates.append((int(cv_round(x * f)),
+                                               int(cv_round(y * f)),
+                                               win_w, win_h))
+                            rej_levels.append(-result)
+                            rej_weights.append(gyp)
+                    elif result > 0:
                         candidates.append((int(cv_round(x * f)),
                                            int(cv_round(y * f)),
                                            win_w, win_h))
@@ -222,6 +249,14 @@ def detect_multi_scale_reference(
         raise ValueError(f"unknown mode {mode!r}")
 
     boxes = np.array(candidates, np.int32).reshape(-1, 4)
+    if output_reject_levels:
+        levels = np.asarray(rej_levels, np.int32)
+        weights = np.asarray(rej_weights, np.float64)
+        if min_neighbors != 0:
+            from .grouping import group_rectangles_levels
+            return group_rectangles_levels(boxes, levels, weights,
+                                           min_neighbors, eps=0.2)
+        return boxes, levels, weights
     if min_neighbors != 0:
         boxes, _ = group_rectangles(boxes, max(min_neighbors, 1), eps=0.2)
     return boxes

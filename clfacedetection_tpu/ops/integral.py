@@ -37,7 +37,15 @@ import numpy as np
 
 __all__ = [
     "bgr_to_gray", "IntegralImages", "integral_images", "tilted_integral",
+    "invert",
 ]
+
+
+def invert(img: "jax.Array") -> "jax.Array":
+    """255 - pixel, any layout (the reference's demo-leftover ``invert``
+    kernel, clif.cl:123-137 — included for capability parity)."""
+    import jax.numpy as _jnp
+    return (_jnp.asarray(255, img.dtype) - img)
 
 # OpenCV's fixed-point BGR->gray coefficients (R, G, B) — cvtColor
 # semantics, the CPU path the reference demo actually uses for detection

@@ -36,11 +36,32 @@ def synth_face(shape: Tuple[int, int] = (120, 160),
 def synth_scene(shape: Tuple[int, int] = (1080, 1920),
                 faces: Sequence[Tuple[int, int, float]] = ((540, 960, 90.0),),
                 seed: int = 3,
-                noise: float = 6.0) -> np.ndarray:
-    """A larger scene with several faces at (cy, cx, size)."""
+                noise: float = 6.0,
+                texture: float = 25.0) -> np.ndarray:
+    """A larger scene with several faces at (cy, cx, size).
+
+    The background carries multi-octave smooth texture plus pixel noise —
+    flat-noise backgrounds reject unrealistically *slowly* in the early
+    cascade stages (low variance normalizes the stump thresholds toward
+    zero), which would skew survivor statistics and benchmarks."""
     H, W = shape
-    img = np.full((H, W), 105, np.float32)
     rng = np.random.default_rng(seed)
+    img = np.full((H, W), 105, np.float32)
+    for cell in (64, 16):
+        coarse = rng.normal(0, texture, (H // cell + 2, W // cell + 2))
+        yy = np.arange(H) / cell
+        xx = np.arange(W) / cell
+        y0 = yy.astype(int)
+        x0 = xx.astype(int)
+        fy = (yy - y0)[:, None]
+        fx = (xx - x0)[None, :]
+        c00 = coarse[np.ix_(y0, x0)]
+        c01 = coarse[np.ix_(y0, x0 + 1)]
+        c10 = coarse[np.ix_(y0 + 1, x0)]
+        c11 = coarse[np.ix_(y0 + 1, x0 + 1)]
+        img += ((1 - fy) * ((1 - fx) * c00 + fx * c01)
+                + fy * ((1 - fx) * c10 + fx * c11)).astype(np.float32)
+        texture *= 0.5
     img += rng.normal(0, noise, (H, W)).astype(np.float32)
     for cy, cx, size in faces:
         _paint_face(img, cy, cx, size)

@@ -1,0 +1,43 @@
+"""ROC / reject-levels output parity (tempcv.cpp:1084-1095 semantics)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from clfacedetection_tpu.detect import (
+    PyramidDetector, detect_multi_scale_reference)
+from clfacedetection_tpu.models import load_cascade
+from clfacedetection_tpu.utils import synth_face
+
+
+def test_reject_levels_parity():
+    img = synth_face((120, 160))
+    spec = load_cascade("haarcascade_frontalface_default")
+    gb, gl, gw = detect_multi_scale_reference(
+        img, spec, min_neighbors=0, mode="scale_image",
+        output_reject_levels=True)
+    det = PyramidDetector(spec, img.shape, dtype=jnp.float64,
+                          output_levels=True)
+    jb, jl, jw, overflow = det.candidates_with_levels(img)
+    assert not overflow
+    assert len(gb) > 0
+    gset = {tuple(b) + (int(l),) for b, l in zip(gb.tolist(), gl)}
+    jset = {tuple(b) + (int(l),) for b, l in zip(jb.tolist(), jl)}
+    assert gset == jset
+    gd = {tuple(b): w for b, w in zip(gb.tolist(), gw)}
+    jd = {tuple(b): w for b, w in zip(jb.tolist(), jw)}
+    for k in gd:
+        assert abs(gd[k] - jd[k]) < 1e-9
+
+
+def test_reject_levels_grouped():
+    img = synth_face((120, 160))
+    spec = load_cascade("haarcascade_frontalface_default")
+    gb, gl, gw = detect_multi_scale_reference(
+        img, spec, min_neighbors=2, mode="scale_image",
+        output_reject_levels=True)
+    from clfacedetection_tpu.detect.grouping import group_rectangles_levels
+    det = PyramidDetector(spec, img.shape, dtype=jnp.float64,
+                          output_levels=True)
+    jb0, jl0, jw0, _ = det.candidates_with_levels(img)
+    jb, jl, jw = group_rectangles_levels(jb0, jl0, jw0, 2, eps=0.2)
+    assert {tuple(b) for b in gb.tolist()} == {tuple(b) for b in jb.tolist()}
