@@ -193,7 +193,8 @@ class ScaleCascadeDetector:
                  cap: Optional[int] = None,
                  dtype=jnp.float32,
                  clf_chunk: int = 256,
-                 max_stages: Optional[int] = None):
+                 max_stages: Optional[int] = None,
+                 do_canny_pruning: bool = False):
         self.spec = spec
         self.H, self.W = int(image_shape[0]), int(image_shape[1])
         self.dtype = dtype
@@ -206,6 +207,7 @@ class ScaleCascadeDetector:
             min_size, max_size, mode="scale_cascade")
         self.n_scales = len(self.scales)
         self.is_tree = c.is_tree
+        self.do_canny_pruning = bool(do_canny_pruning)
         self.paths = _stage_paths(c)
         self.n_stages = c.spec.n_stages
         self.front_k = max(1, min(front_stages, self.n_stages))
@@ -252,6 +254,20 @@ class ScaleCascadeDetector:
             win_w=dev(self.win_w), win_h=dev(self.win_h),
             xs_pos=dev(xs_pos), ys_pos=dev(ys_pos),
         )
+        if self.do_canny_pruning:
+            # pruning rect corners (0.15/0.7 of the scaled window,
+            # tempcv.cpp:1386-1391), order (+,-,-,+)
+            cyy = np.zeros((self.n_scales, 4), np.int32)
+            cxx = np.zeros((self.n_scales, 4), np.int32)
+            for k in range(self.n_scales):
+                ex = int(cv_round(self.win_w[k] * 0.15))
+                ey = int(cv_round(self.win_h[k] * 0.15))
+                ew = int(cv_round(self.win_w[k] * 0.7))
+                eh = int(cv_round(self.win_h[k] * 0.7))
+                cyy[k] = (ey, ey, ey + eh, ey + eh)
+                cxx[k] = (ex, ex + ew, ex, ex + ew)
+            self._scan_xs["canny_y"] = dev(cyy)
+            self._scan_xs["canny_x"] = dev(cxx)
         self._consts = dict(
             threshold=dev(t.threshold),
             left=dev(t.left), right=dev(t.right),
@@ -370,7 +386,19 @@ class ScaleCascadeDetector:
         # (tempcv.cpp:816-819), i.e. in-bounds iff x+winW <= W.
         inb = ((ys_pos[:, None] + win_h <= H)
                & (xs_pos[None, :] + win_w <= W))
-        lat_front = front_possible[yc[:, None], xc[None, :]] & inb
+        if self.do_canny_pruning:
+            # skip-by-2 + no-eval when the window's edge density is low
+            # (tempcv.cpp:1396-1405: s < 100 or sq < 20; pq aliases the
+            # plain sum integral)
+            cs = self._rect_sum_map(planes["canny"], xs["canny_y"],
+                                    xs["canny_x"], shape)
+            cq = self._rect_sum_map(planes["sum"], xs["canny_y"],
+                                    xs["canny_x"], shape)
+            canny_ok_map = (cs >= 100) & (cq >= 20)
+            canny_ok = canny_ok_map[yc[:, None], xc[None, :]]
+        else:
+            canny_ok = jnp.ones((self.max_y, self.max_x), bool)
+        lat_front = front_possible[yc[:, None], xc[None, :]] & inb & canny_ok
         lat_vnf = vnf[yc[:, None], xc[None, :]]
 
         # ---- compact front survivors (static cap) ------------------------
@@ -396,9 +424,10 @@ class ScaleCascadeDetector:
         acc_lat = jnp.zeros((n_lat,), bool).at[surv_idx].set(
             accept, mode="drop").reshape(self.max_y, self.max_x)
         if self.is_tree:
-            f_lat = inb & ~acc_lat
+            f_lat = inb & ~(canny_ok & acc_lat)
         else:
-            f_lat = inb & fail0[yc[:, None], xc[None, :]]
+            f_lat = inb & (~canny_ok
+                           | fail0[yc[:, None], xc[None, :]])
 
         # The skip automaton skip[i+1] = f[i] & ~skip[i] (with skip[0]=0)
         # has the closed form: skip[i] = 1 iff the run of consecutive f=1
@@ -471,8 +500,12 @@ class ScaleCascadeDetector:
                 T, dtype)
             return None, val
 
-        _, votes = jax.lax.scan(chunk_votes, None, chunk_in)
-        votes = jnp.moveaxis(votes, 0, 1).reshape(cap, padded)[:, :n_clf]
+        # unrolled in Python: gathers inside lax.scan bodies scalarize on
+        # TPU (see pyramid._tail_accept)
+        votes = jnp.concatenate(
+            [chunk_votes(None, jax.tree_util.tree_map(lambda a: a[i],
+                                                      chunk_in))[1]
+             for i in range(n_chunks)], axis=1)[:, :n_clf]
         # per-stage sums via static slices (avoids TPU scatter-add)
         spec = c.spec
         seg = jnp.stack(
@@ -501,6 +534,12 @@ class ScaleCascadeDetector:
         }
         if c.has_tilted:
             planes["tilted"] = jnp.pad(ii.tilted, padw)
+        if self.do_canny_pruning:
+            from ..ops.canny import canny
+            from ..ops.integral import _integral_2d
+            edges = canny(gray, 0, 50)
+            planes["canny"] = jnp.pad(_integral_2d(edges.astype(jnp.int32)),
+                                      padw)
 
         def body(carry, xs):
             return carry, self._per_scale(planes, xs)

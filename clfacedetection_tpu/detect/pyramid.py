@@ -368,7 +368,11 @@ class PyramidDetector:
     def _tail_accept(self, planes, sy, sx, svnf):
         """All-stage evaluation of compacted survivors via patch matmul,
         chunked over survivors so peak memory is O(chunk * n_nodes)
-        whatever the cap grows to."""
+        whatever the cap grows to.
+
+        Chunks are unrolled in Python, NOT lax.scan: gathers inside an XLA
+        while-loop body get fused-and-scalarized on TPU (measured 3000x
+        slower than the identical ops outside the loop)."""
         cap = self.cap
         chunk = min(self.tail_chunk, cap)
         n_chunks = -(-cap // chunk)
@@ -379,17 +383,14 @@ class PyramidDetector:
                 [a, jnp.zeros((padc - cap,) + a.shape[1:], a.dtype)], 0) \
                 if padc != cap else a
 
-        xs = dict(sy=pad(sy).reshape(n_chunks, chunk),
-                  sx=pad(sx).reshape(n_chunks, chunk),
-                  svnf=pad(svnf).reshape(n_chunks, chunk))
-
-        def body(_, cxs):
-            return None, self._tail_accept_chunk(
-                planes, cxs["sy"], cxs["sx"], cxs["svnf"], chunk)
-
-        _, out = jax.lax.scan(body, None, xs)
+        sy, sx, svnf = pad(sy), pad(sx), pad(svnf)
+        outs = [self._tail_accept_chunk(
+                    planes, sy[i * chunk:(i + 1) * chunk],
+                    sx[i * chunk:(i + 1) * chunk],
+                    svnf[i * chunk:(i + 1) * chunk], chunk)
+                for i in range(n_chunks)]
         return jax.tree_util.tree_map(
-            lambda a: a.reshape((padc,) + a.shape[2:])[:cap], out)
+            lambda *a: jnp.concatenate(a, axis=0)[:cap], *outs)
 
     def _tail_accept_chunk(self, planes, sy, sx, svnf, cap):
         t = self.tables
@@ -474,6 +475,11 @@ class PyramidDetector:
         planes = {"sum": jnp.pad(ii.sum, padw)}
         if c.has_tilted:
             planes["tilted"] = jnp.pad(ii.tilted, padw)
+        # Materialization boundary: without it XLA fuses the tail's patch
+        # gathers into the integral-producing fusion and emits them as
+        # scalar loops (~100x slower); as standalone kernels on a
+        # materialized operand they run at full gather bandwidth.
+        planes = jax.lax.optimization_barrier(planes)
         shape = (self.plan.canvas_h + 1, self.plan.canvas_w + 1)
 
         # variance map (equ rect = (1,1,w0-2,h0-2), tempcv.cpp:1276-1278)

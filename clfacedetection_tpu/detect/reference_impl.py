@@ -168,6 +168,9 @@ def detect_multi_scale_reference(
         mode: str = "scale_cascade",
         max_stages: Optional[int] = None,
         output_reject_levels: bool = False,
+        do_canny_pruning: bool = False,
+        find_biggest_object: bool = False,
+        rough_search: bool = False,
 ) -> np.ndarray:
     """Full-pipeline golden detector. Returns int32 boxes [n, 4] (x,y,w,h),
     or (boxes, reject_levels, level_weights) with
@@ -183,6 +186,12 @@ def detect_multi_scale_reference(
     assert gray.ndim == 2 and gray.dtype == np.uint8
     if output_reject_levels and mode != "scale_image":
         raise ValueError("reject levels only exist in scale_image mode")
+    if find_biggest_object:
+        # FBO clears SCALE_IMAGE and CANNY (tempcv.cpp:1227,1253)
+        mode = "scale_cascade"
+        do_canny_pruning = False
+        return _find_biggest_object(gray, spec, scale_factor, min_neighbors,
+                                    min_size, max_stages, rough_search)
     compiled = compile_cascade(spec)
     if max_stages is not None:
         compiled = truncate_cascade(compiled, max_stages)
@@ -196,16 +205,44 @@ def detect_multi_scale_reference(
                             scale_factor, min_size, max_size, mode=mode)
     if mode == "scale_cascade":
         s_img, sq_img, t_img = _integrals(gray, compiled.has_tilted)
+        canny_sum = None
+        if do_canny_pruning:
+            # cvCanny(img, 0, 50, 3) + integral (tempcv.cpp:1339-1343)
+            import cv2
+            from ..ops.canny import canny_np
+            canny_sum = cv2.integral(canny_np(gray, 0, 50),
+                                     sdepth=cv2.CV_32S)
         for f in factors:
             scaled = compiled.at_scale(f)
             ev = RefWindowEvaluator(compiled, scaled, s_img, sq_img, t_img)
             ystep, xs, ys = scan_grid(W, H, scaled.win_w, scaled.win_h, f)
+            if do_canny_pruning:
+                # pruning rect = (0.15, 0.15, 0.7, 0.7) of the window
+                # (tempcv.cpp:1386-1391); pq aliases the *sum* integral
+                ex = int(cv_round(scaled.win_w * 0.15))
+                ey = int(cv_round(scaled.win_h * 0.15))
+                ew = int(cv_round(scaled.win_w * 0.7))
+                eh = int(cv_round(scaled.win_h * 0.7))
             for y in ys:
                 ix = 0
                 while ix < len(xs):
-                    res = ev.run(int(xs[ix]), int(y))
+                    x = int(xs[ix])
+                    if do_canny_pruning:
+                        cy0, cx0 = int(y) + ey, x + ex
+                        cs = int(canny_sum[cy0, cx0]
+                                 - canny_sum[cy0, cx0 + ew]
+                                 - canny_sum[cy0 + eh, cx0]
+                                 + canny_sum[cy0 + eh, cx0 + ew])
+                        cq = int(s_img[cy0, cx0]
+                                 - s_img[cy0, cx0 + ew]
+                                 - s_img[cy0 + eh, cx0]
+                                 + s_img[cy0 + eh, cx0 + ew])
+                        if cs < 100 or cq < 20:
+                            ix += 2
+                            continue
+                    res = ev.run(x, int(y))
                     if res > 0:
-                        candidates.append((int(xs[ix]), int(y),
+                        candidates.append((x, int(y),
                                            scaled.win_w, scaled.win_h))
                     ix += 1 if res != 0 else 2
     elif mode == "scale_image":
@@ -260,3 +297,83 @@ def detect_multi_scale_reference(
     if min_neighbors != 0:
         boxes, _ = group_rectangles(boxes, max(min_neighbors, 1), eps=0.2)
     return boxes
+
+
+def _find_biggest_object(gray, spec, scale_factor, min_neighbors,
+                         min_size, max_stages, rough_search):
+    """CV_HAAR_FIND_BIGGEST_OBJECT driver (tempcv.cpp:1349-1454,1477-1489):
+    scales descend from the largest; after the first scale with candidates
+    the scan narrows to an eps-expanded ROI around the biggest grouped box
+    and min_size rises to 0.4 (0.6 with DO_ROUGH_SEARCH) of it; the result
+    is the single largest grouped rectangle."""
+    GROUP_EPS = 0.2
+    compiled = compile_cascade(spec)
+    if max_stages is not None:
+        compiled = truncate_cascade(compiled, max_stages)
+    H, W = gray.shape
+    s_img, sq_img, t_img = _integrals(gray, compiled.has_tilted)
+
+    # factor enumeration then reversal (tempcv.cpp:1345-1360)
+    n_factors = 0
+    f = 1.0
+    while f * spec.window_w < W - 10 and f * spec.window_h < H - 10:
+        n_factors += 1
+        f *= scale_factor
+    inv = 1.0 / scale_factor
+    factor = f * inv
+    min_w, min_h = min_size
+    scan_roi = None  # (x, y, w, h)
+    candidates: List[Tuple[int, int, int, int]] = []
+
+    for _ in range(n_factors):
+        ystep = max(2.0, factor)
+        win_w = int(cv_round(spec.window_w * factor))
+        win_h = int(cv_round(spec.window_h * factor))
+        if win_w < min_w or win_h < min_h:
+            break  # descending scales: nothing smaller qualifies
+        scaled = compiled.at_scale(factor)
+        ev = RefWindowEvaluator(compiled, scaled, s_img, sq_img, t_img)
+        start_x = start_y = 0
+        end_x = int(cv_round((W - win_w) / ystep))
+        end_y = int(cv_round((H - win_h) / ystep))
+        if scan_roi is not None:
+            rx, ry, rw, rh = scan_roi
+            start_y = int(cv_round(ry / ystep))
+            end_y = int(cv_round((ry + rh - win_h) / ystep))
+            start_x = int(cv_round(rx / ystep))
+            end_x = int(cv_round((rx + rw - win_w) / ystep))
+        for iy in range(start_y, end_y):
+            y = int(cv_round(iy * ystep))
+            ix = start_x
+            while ix < end_x:
+                x = int(cv_round(ix * ystep))
+                res = ev.run(x, y)
+                if res > 0:
+                    candidates.append((x, y, win_w, win_h))
+                ix += 1 if res != 0 else 2
+        if candidates and scan_roi is None:
+            grouped, _ = group_rectangles(
+                np.asarray(candidates, np.int64),
+                max(min_neighbors, 1), GROUP_EPS)
+            if len(grouped):
+                areas = grouped[:, 2] * grouped[:, 3]
+                mx = grouped[int(np.argmax(areas))]
+                candidates.append(tuple(int(v) for v in mx))
+                dx = int(cv_round(mx[2] * GROUP_EPS))
+                dy = int(cv_round(mx[3] * GROUP_EPS))
+                rx = max(int(mx[0]) - dx, 0)
+                ry = max(int(mx[1]) - dy, 0)
+                rw = min(int(mx[2]) + dx * 2, W - 1 - rx)
+                rh = min(int(mx[3]) + dy * 2, H - 1 - ry)
+                scan_roi = (rx, ry, rw, rh)
+                min_scale = 0.6 if rough_search else 0.4
+                min_w = int(cv_round(mx[2] * min_scale))
+                min_h = int(cv_round(mx[3] * min_scale))
+        factor *= inv
+
+    boxes = np.asarray(candidates, np.int64).reshape(-1, 4)
+    boxes, neigh = group_rectangles(boxes, max(min_neighbors, 1), GROUP_EPS)
+    if not len(boxes):
+        return np.zeros((0, 4), np.int32)
+    areas = boxes[:, 2] * boxes[:, 3]
+    return boxes[int(np.argmax(areas))][None, :].astype(np.int32)
