@@ -42,6 +42,12 @@ CLOD_PRECOMPUTE_FEATURES = 2 << 0
 CLOD_BLOCK_IMPLEMENTATION = 2 << 1
 CLOD_PER_STAGE_ITERATIONS = 2 << 2
 
+# OpenCV haar flags (tempcv.hpp:127-130)
+CV_HAAR_DO_CANNY_PRUNING = 1
+CV_HAAR_SCALE_IMAGE = 2
+CV_HAAR_FIND_BIGGEST_OBJECT = 4
+CV_HAAR_DO_ROUGH_SEARCH = 8
+
 
 @dataclasses.dataclass(frozen=True)
 class WeightedRect:
@@ -97,13 +103,15 @@ class CascadeClassifier:
     def empty(self) -> bool:
         return self.spec.n_stages == 0
 
-    def _detector(self, shape, scale_factor, min_size, max_size, **knobs):
-        key = (shape, float(scale_factor), tuple(min_size),
+    def _detector(self, shape, scale_factor, min_size, max_size,
+                  mode=None, **knobs):
+        mode = mode or self.mode
+        key = (mode, shape, float(scale_factor), tuple(min_size),
                tuple(max_size) if max_size else None,
                tuple(sorted(knobs.items())))
         det = self._detectors.get(key)
         if det is None:
-            cls = (PyramidDetector if self.mode == "scale_image"
+            cls = (PyramidDetector if mode == "scale_image"
                    else ScaleCascadeDetector)
             det = cls(
                 self.spec, shape, scale_factor=scale_factor,
@@ -156,8 +164,27 @@ class CascadeClassifier:
                                 max_size: Optional[Tuple[int, int]] = None,
                                 **knobs) -> DetectionResult:
         gray = _to_gray(image)
+        if flags & CV_HAAR_FIND_BIGGEST_OBJECT:
+            # inherently sequential driver (shrinking scan ROI per scale,
+            # tempcv.cpp:1349-1454) — runs the exact host implementation
+            from .detect.reference_impl import detect_multi_scale_reference
+            boxes = detect_multi_scale_reference(
+                gray, self.spec, scale_factor=scale_factor,
+                min_neighbors=min_neighbors, min_size=tuple(min_size),
+                find_biggest_object=True,
+                rough_search=bool(flags & CV_HAAR_DO_ROUGH_SEARCH))
+            return DetectionResult(
+                boxes=boxes, neighbors=np.ones(len(boxes), np.int32),
+                candidates=boxes, survivor_overflow=False)
+        mode = self.mode
+        if flags & CV_HAAR_SCALE_IMAGE:
+            mode = "scale_image"
+        if flags & CV_HAAR_DO_CANNY_PRUNING and mode == "scale_cascade":
+            # canny pruning exists only in the scale-cascade driver
+            # (tempcv.cpp:1337-1342)
+            knobs = dict(knobs, do_canny_pruning=True)
         det = self._detector(gray.shape, scale_factor, min_size, max_size,
-                             **knobs)
+                             mode=mode, **knobs)
         return det.detect(gray, min_neighbors=min_neighbors)
 
 

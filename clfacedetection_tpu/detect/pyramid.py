@@ -208,7 +208,8 @@ class PyramidDetector:
                  dtype=jnp.float32,
                  tail_chunk: int = 8192,
                  max_stages: Optional[int] = None,
-                 output_levels: bool = False):
+                 output_levels: bool = False,
+                 use_pallas_front: Optional[bool] = None):
         self.spec = spec
         self.H, self.W = int(image_shape[0]), int(image_shape[1])
         self.dtype = dtype
@@ -266,7 +267,26 @@ class PyramidDetector:
             pm[i, p] = True
         self._path_mask = jnp.asarray(pm)
         self._pad = w0 + h0 + 4
-        self._jit_detect = jax.jit(self._detect_device)
+        if use_pallas_front is None:
+            use_pallas_front = (jax.default_backend() == "tpu"
+                                and dtype == jnp.float32)
+        self.use_pallas_front = bool(use_pallas_front)
+        if self.use_pallas_front:
+            from ..ops.haar_front import build_front_kernel
+            bh, bw = 32, 256
+            # halo DMAs read past the canvas: pad planes generously
+            # (block sizes round up to the (8,128) tiling inside the kernel)
+            self._pad_y = 2 * bh + h0 + 16
+            self._pad_x = 2 * bw + w0 + 256
+            self._front_kernel = build_front_kernel(
+                self.tables, c.spec, c.stage_threshold, self.front_k,
+                h0, w0, self.equ_y, self.equ_x, self.inv_area, vm,
+                c.has_tilted, bh=bh, bw=bw)
+        else:
+            self._pad_y = self._pad_x = self._pad
+        self._jit_front = jax.jit(self._front_device)
+        self._jit_compact = jax.jit(self._compact_device)
+        self._jit_tail = jax.jit(self._tail_device)
 
     # ------------------------------------------------------------------
     def _build_stencils(self) -> None:
@@ -396,8 +416,6 @@ class PyramidDetector:
         t = self.tables
         dtype = self.dtype
         P_h, P_w = self.h0 + 1, self.w0 + 1
-        dy = jnp.arange(P_h)
-        dx = jnp.arange(P_w)
 
         def local_patch(img, full_correction):
             """Window-local patch with magnitude-reducing correction.
@@ -410,17 +428,22 @@ class PyramidDetector:
             corner-only correction (values stay window-local-bounded in
             float64; float32 fast mode tolerates the ~2-bit headroom
             loss on large canvases).
+
+            Extraction is vmap(dynamic_slice): it lowers to an XLA gather
+            with slice_sizes=(P_h, P_w) *by construction*.  The equivalent
+            advanced-indexing expression relies on a base+iota pattern
+            match that fails in larger programs, degrading to an
+            element-wise gather measured ~1000x slower on TPU.  The
+            correction terms are rows/columns of the patch itself — no
+            further memory traffic.
             """
-            gy = sy[:, None, None] + dy[None, :, None]
-            gx = sx[:, None, None] + dx[None, None, :]
-            corner = img[sy, sx][:, None, None]
-            r = img[gy, gx] - corner
+            raw = jax.vmap(
+                lambda y, x: jax.lax.dynamic_slice(img, (y, x),
+                                                   (P_h, P_w)))(sy, sx)
+            corner = raw[:, 0, 0][:, None, None]
+            r = raw - corner
             if full_correction:
-                row0 = img[sy[:, None], sx[:, None] + dx[None, :]] \
-                    - img[sy, sx][:, None]
-                col0 = img[sy[:, None] + dy[None, :], sx[:, None]] \
-                    - img[sy, sx][:, None]
-                r = r - row0[:, None, :] - col0[:, :, None]
+                r = r - r[:, 0:1, :] - r[:, :, 0:1]
             return r.reshape(cap, P_h * P_w).astype(dtype)
 
         # precision=HIGHEST keeps the MXU in full-f32 mode; the TPU default
@@ -466,25 +489,27 @@ class PyramidDetector:
             out["weight"] = weight
         return out
 
-    def _detect_device(self, gray):
+    def _front_device(self, gray):
+        """Program 1: canvas, integral, variance map, dense front stages.
+        Slices and elementwise only — no gathers."""
         c = self.compiled
         dtype = self.dtype
         canvas = self._assemble_canvas(gray)
         ii = integral_images(canvas, with_tilted=c.has_tilted)
-        padw = [(0, self._pad), (0, self._pad)]
+        padw = [(0, self._pad_y), (0, self._pad_x)]
         planes = {"sum": jnp.pad(ii.sum, padw)}
         if c.has_tilted:
             planes["tilted"] = jnp.pad(ii.tilted, padw)
-        # Materialization boundary: without it XLA fuses the tail's patch
-        # gathers into the integral-producing fusion and emits them as
-        # scalar loops (~100x slower); as standalone kernels on a
-        # materialized operand they run at full gather bandwidth.
-        planes = jax.lax.optimization_barrier(planes)
         shape = (self.plan.canvas_h + 1, self.plan.canvas_w + 1)
-
-        # variance map (equ rect = (1,1,w0-2,h0-2), tempcv.cpp:1276-1278)
         sq_hi = jnp.pad(ii.sq_hi, padw)
         sq_lo = jnp.pad(ii.sq_lo, padw)
+
+        if self.use_pallas_front:
+            kplanes = dict(planes, sq_hi=sq_hi, sq_lo=sq_lo)
+            front, vnf = self._front_kernel(kplanes)
+            return dict(planes=planes, vnf=vnf, front=front.reshape(-1))
+
+        # variance map (equ rect = (1,1,w0-2,h0-2), tempcv.cpp:1276-1278)
         win_sum = self._rect_sum_map(planes["sum"], self.equ_y, self.equ_x,
                                      shape).astype(dtype)
         hi = self._rect_sum_map(sq_hi, self.equ_y, self.equ_x,
@@ -502,10 +527,25 @@ class PyramidDetector:
         front = self._visit
         for p in passes:
             front = front & p
+        out = dict(planes=planes, vnf=vnf, front=front.reshape(-1))
+        return out
 
-        flat = front.reshape(-1)
-        n_flat = flat.shape[0]
-        surv_idx, n_surv = _compact(flat, self.cap)
+    def _compact_device(self, front_flat):
+        """Program 2: survivor compaction (cumsum + scatter)."""
+        return _compact(front_flat, self.cap)
+
+    def _tail_device(self, planes, vnf, surv_idx, n_surv):
+        """Program 3: patch extraction + MXU tail over compacted survivors.
+
+        Deliberately a SEPARATE jit: XLA TPU's fast slice-gather emitter
+        only engages when both the gathered operand and the indices are
+        entry parameters — the same gather on in-program intermediates
+        degrades to element-wise/looped forms measured 100-2000x slower.
+        The three-phase split (front kernel -> compaction -> tail) puts
+        every hot operand on a parameter boundary; everything stays
+        on-device, the cost is two extra dispatches."""
+        shape = (self.plan.canvas_h + 1, self.plan.canvas_w + 1)
+        n_flat = shape[0] * shape[1]
         valid = surv_idx < n_flat
         surv_c = jnp.where(valid, surv_idx, 0)
         sy = surv_c // shape[1]
@@ -524,17 +564,30 @@ class PyramidDetector:
             out["weight"] = tail["weight"]
         return out
 
+    def _detect_device(self, gray):
+        """Single-program variant (compile-check / CPU convenience; on TPU
+        prefer the phased path — see _tail_device)."""
+        f = self._front_device(gray)
+        surv_idx, n_surv = self._compact_device(f["front"])
+        return self._tail_device(f["planes"], f["vnf"], surv_idx, n_surv)
+
+    def _run_two_phase(self, gray):
+        f = self._jit_front(jnp.asarray(gray, jnp.uint8))
+        surv_idx, n_surv = self._jit_compact(f["front"])
+        return self._jit_tail(f["planes"], f["vnf"], surv_idx, n_surv)
+
     # ------------------------------------------------------------------
     def candidates(self, gray) -> Tuple[np.ndarray, bool]:
         """Raw candidates (x, y, w, h) in original-image coordinates."""
         if self.n_levels == 0:
             return np.zeros((0, 4), np.int32), False
-        gray = jnp.asarray(gray, jnp.uint8)
-        out = jax.tree_util.tree_map(np.asarray, self._jit_detect(gray))
+        out = jax.tree_util.tree_map(np.asarray, self._run_two_phase(gray))
         while bool(out["n_surv"] > self.cap) and self.cap < self.n_visit:
             self.cap = min(self.cap * 4, self.n_visit)
-            self._jit_detect = jax.jit(self._detect_device)
-            out = jax.tree_util.tree_map(np.asarray, self._jit_detect(gray))
+            self._jit_compact = jax.jit(self._compact_device)
+            self._jit_tail = jax.jit(self._tail_device)
+            out = jax.tree_util.tree_map(np.asarray,
+                                         self._run_two_phase(gray))
         ok = out["ok"]
         if not ok.any():
             return np.zeros((0, 4), np.int32), bool(out["n_surv"] > self.cap)
@@ -548,12 +601,13 @@ class PyramidDetector:
         if self.n_levels == 0:
             return (np.zeros((0, 4), np.int32), np.zeros(0, np.int32),
                     np.zeros(0, np.float64), False)
-        gray = jnp.asarray(gray, jnp.uint8)
-        out = jax.tree_util.tree_map(np.asarray, self._jit_detect(gray))
+        out = jax.tree_util.tree_map(np.asarray, self._run_two_phase(gray))
         while bool(out["n_surv"] > self.cap) and self.cap < self.n_visit:
             self.cap = min(self.cap * 4, self.n_visit)
-            self._jit_detect = jax.jit(self._detect_device)
-            out = jax.tree_util.tree_map(np.asarray, self._jit_detect(gray))
+            self._jit_compact = jax.jit(self._compact_device)
+            self._jit_tail = jax.jit(self._tail_device)
+            out = jax.tree_util.tree_map(np.asarray,
+                                         self._run_two_phase(gray))
         ok = out["ok_roc"]
         overflow = bool(out["n_surv"] > self.cap)
         if not ok.any():

@@ -1,0 +1,182 @@
+"""Pallas TPU kernel: fused dense front-stage Haar evaluation.
+
+This is the Pallas replacement for the pyramid detector's XLA front pass
+(SURVEY.md section 7 build step 6): for every canvas position, compute the
+variance-normalization factor and evaluate the first K cascade stages,
+emitting the surviving-position mask and the vnf map.
+
+Design (one kernel, one pass over the canvas):
+
+* grid over (BH, BW) output tiles; each program DMAs the integral planes'
+  (BH + h0 + 1, BW + w0 + 1) halo block HBM->VMEM (hand-rolled halo copy —
+  BlockSpec blocks can't overlap), then evaluates every front node with
+  *static* VMEM slices: at unit scale all rect corner offsets are
+  compile-time constants, so a rect sum over the whole tile is 4 shifted
+  slice adds on the VPU.
+* stump votes / CART walks / stage sums / the static visit-lattice mask
+  all happen in-register per tile; outputs are the boolean survivor tile
+  and the float32 vnf tile.
+
+The XLA fallback (PyramidDetector._front_maps) remains the specification;
+the kernel must match it bit-for-bit in float32 (same op order).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["build_front_kernel"]
+
+
+def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
+                       h0: int, w0: int, equ_y, equ_x, inv_area: float,
+                       visit: np.ndarray, has_tilted: bool,
+                       bh: int = 32, bw: int = 512):
+    """Returns fn(planes: dict[str, i32[Hp, Wp]]) -> (front bool[Hv, Wv],
+    vnf f32[Hv, Wv]) where (Hv, Wv) = visit.shape.
+
+    ``tables`` is detect.detector._ClfTables built at scale 1.0; ``spec``
+    the (possibly truncated) CascadeSpec; planes must be padded by at least
+    (h0 + w0 + 4, h0 + w0 + 4 + bw) so halo DMAs stay in bounds.
+    """
+    Hv, Wv = visit.shape
+    grid_h = -(-Hv // bh)
+    grid_w = -(-Wv // bw)
+    # halo block sizes, rounded to the (8, 128) VMEM tiling Mosaic requires
+    sh = -(-(bh + h0 + 2) // 8) * 8
+    sw = -(-(bw + w0 + 2) // 128) * 128
+    n_planes = 4 if has_tilted else 3      # sum, sq_hi, sq_lo[, tilted]
+    visit_pad = np.zeros((grid_h * bh, grid_w * bw), bool)
+    visit_pad[:Hv, :Wv] = visit
+
+    clf_w = tables.weight[0]               # [n_clf, T, 3] scale-1 weights
+    clf_cy = tables.corner_y[0]
+    clf_cx = tables.corner_x[0]
+
+    def kernel(sum_hbm, sqhi_hbm, sqlo_hbm, *rest):
+        if has_tilted:
+            tilt_hbm, visit_ref, front_ref, vnf_ref = rest[:4]
+            scratches = rest[4:4 + n_planes]
+            sems = rest[4 + n_planes]
+        else:
+            visit_ref, front_ref, vnf_ref = rest[:3]
+            scratches = rest[3:3 + n_planes]
+            sems = rest[3 + n_planes]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        y0 = i * bh
+        x0 = j * bw
+        hbm_refs = [sum_hbm, sqhi_hbm, sqlo_hbm] + (
+            [tilt_hbm] if has_tilted else [])
+        dmas = []
+        for k, (hbm, scr) in enumerate(zip(hbm_refs, scratches)):
+            dma = pltpu.make_async_copy(
+                hbm.at[pl.ds(y0, sh), pl.ds(x0, sw)], scr, sems.at[k])
+            dma.start()
+            dmas.append(dma)
+        for dma in dmas:
+            dma.wait()
+
+        s_sum, s_hi, s_lo = scratches[0], scratches[1], scratches[2]
+        s_tilt = scratches[3] if has_tilted else None
+
+        def rect(scr, cy, cx):
+            """Rect sum over the whole tile: 4 static shifted slices."""
+            return (scr[cy[0]:cy[0] + bh, cx[0]:cx[0] + bw]
+                    - scr[cy[1]:cy[1] + bh, cx[1]:cx[1] + bw]
+                    - scr[cy[2]:cy[2] + bh, cx[2]:cx[2] + bw]
+                    + scr[cy[3]:cy[3] + bh, cx[3]:cx[3] + bw])
+
+        # variance normalization (order matches _front_device exactly)
+        win_sum = rect(s_sum, equ_y, equ_x).astype(jnp.float32)
+        hi = rect(s_hi, equ_y, equ_x).astype(jnp.float32)
+        lo = rect(s_lo, equ_y, equ_x).astype(jnp.float32)
+        win_sq = hi * np.float32(256.0) + lo
+        inv = np.float32(inv_area)
+        mean = win_sum * inv
+        var = win_sq * inv - mean * mean
+        vnf = jnp.where(var >= 0, jnp.sqrt(jnp.maximum(var, 0.0)),
+                        jnp.ones_like(var))
+
+        def node_map(clf, t):
+            scr = s_tilt if tables.use_tilted[clf, t] else s_sum
+            v = None
+            for k in range(3):
+                wk = float(clf_w[clf, t, k])
+                if wk == 0.0:
+                    continue
+                rs = rect(scr, clf_cy[clf, t, k],
+                          clf_cx[clf, t, k]).astype(jnp.float32)
+                term = rs * np.float32(wk)
+                v = term if v is None else v + term
+            return v if v is not None else jnp.zeros((bh, bw), jnp.float32)
+
+        def clf_map(clf):
+            nvals = [node_map(clf, t)
+                     for t in range(int(tables.clf_valid_nodes[clf]))]
+
+            def walk(t):
+                cond = nvals[t] < np.float32(tables.threshold[clf, t]) * vnf
+                lf = int(tables.left[clf, t])
+                rt = int(tables.right[clf, t])
+                lval = (jnp.full((bh, bw), tables.alpha[clf, -lf],
+                                 jnp.float32) if lf <= 0 else walk(lf))
+                rval = (jnp.full((bh, bw), tables.alpha[clf, -rt],
+                                 jnp.float32) if rt <= 0 else walk(rt))
+                return jnp.where(cond, lval, rval)
+
+            return walk(0)
+
+        front = visit_ref[...]
+        for st in range(front_k):
+            c0 = int(spec.stage_clf_ofs[st])
+            cnt = int(spec.stage_clf_cnt[st])
+            ssum = jnp.zeros((bh, bw), jnp.float32)
+            for jj in range(cnt):
+                ssum = ssum + clf_map(c0 + jj)
+            front = front & (ssum >= np.float32(stage_thresholds[st]))
+
+        front_ref[...] = front
+        vnf_ref[...] = vnf
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_planes
+    in_specs.append(pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                                 memory_space=pltpu.VMEM))
+    out_specs = (
+        pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((grid_h * bh, grid_w * bw), jnp.bool_),
+        jax.ShapeDtypeStruct((grid_h * bh, grid_w * bw), jnp.float32),
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(grid_h, grid_w),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((sh, sw), jnp.int32)
+                        for _ in range(n_planes)]
+        + [pltpu.SemaphoreType.DMA((n_planes,))],
+    )
+    visit_dev = jnp.asarray(visit_pad)
+
+    def run(planes):
+        args = [planes["sum"], planes["sq_hi"], planes["sq_lo"]]
+        if has_tilted:
+            args.append(planes["tilted"])
+        args.append(visit_dev)
+        front, vnf = call(*args)
+        return front[:Hv, :Wv], vnf[:Hv, :Wv]
+
+    return run

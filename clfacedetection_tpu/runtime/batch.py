@@ -44,18 +44,24 @@ class BatchedPyramidDetector:
         self.det = PyramidDetector(spec, image_shape, **knobs)
         if self.det.n_levels == 0:
             return
-        batched = jax.vmap(self.det._detect_device)
+        # two-phase like the single-frame path (see PyramidDetector.
+        # _tail_device): the tail's gathers need their operands on a jit
+        # parameter boundary to hit the fast TPU gather emitter
+        front = jax.vmap(self.det._front_device)
+        compact = jax.vmap(self.det._compact_device)
+        tail = jax.vmap(self.det._tail_device)
         if mesh is not None:
             if batch % mesh.size != 0:
                 raise ValueError(f"batch {batch} not divisible by mesh "
                                  f"size {mesh.size}")
             shard = NamedSharding(mesh, P(axis_name))
             self._in_sharding = shard
-            self._jit = jax.jit(batched, in_shardings=shard,
-                                out_shardings=shard)
+            self._jit_front = jax.jit(front, in_shardings=shard)
         else:
             self._in_sharding = None
-            self._jit = jax.jit(batched)
+            self._jit_front = jax.jit(front)
+        self._jit_compact = jax.jit(compact)
+        self._jit_tail = jax.jit(tail)
 
     def put(self, frames: np.ndarray) -> jax.Array:
         """Transfer a [B, H, W] uint8 batch, sharded over the mesh."""
@@ -66,7 +72,9 @@ class BatchedPyramidDetector:
 
     def run_device(self, frames):
         """The compiled [B,H,W] -> padded-survivors step (for timing)."""
-        return self._jit(frames)
+        f = self._jit_front(frames)
+        surv_idx, n_surv = self._jit_compact(f["front"])
+        return self._jit_tail(f["planes"], f["vnf"], surv_idx, n_surv)
 
     def detect(self, frames: np.ndarray,
                min_neighbors: int = 3) -> List[DetectionResult]:
@@ -75,8 +83,17 @@ class BatchedPyramidDetector:
             empty = np.zeros((0, 4), np.int32)
             return [DetectionResult(empty, np.zeros(0, np.int32), empty,
                                     False) for _ in range(len(frames))]
+        dev_frames = self.put(frames)
         out = jax.tree_util.tree_map(
-            np.asarray, self.run_device(self.put(frames)))
+            np.asarray, self.run_device(dev_frames))
+        # survivor-cap auto-growth, like the single-frame path
+        while bool(np.any(out["n_surv"] > self.det.cap)) \
+                and self.det.cap < self.det.n_visit:
+            self.det.cap = min(self.det.cap * 4, self.det.n_visit)
+            self._jit_compact = jax.jit(jax.vmap(self.det._compact_device))
+            self._jit_tail = jax.jit(jax.vmap(self.det._tail_device))
+            out = jax.tree_util.tree_map(
+                np.asarray, self.run_device(dev_frames))
         results = []
         for b in range(len(frames)):
             ok = out["ok"][b]

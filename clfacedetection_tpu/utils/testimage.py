@@ -47,7 +47,7 @@ def synth_scene(shape: Tuple[int, int] = (1080, 1920),
     H, W = shape
     rng = np.random.default_rng(seed)
     img = np.full((H, W), 105, np.float32)
-    for cell in (64, 16):
+    for cell in (64, 16, 4):
         coarse = rng.normal(0, texture, (H // cell + 2, W // cell + 2))
         yy = np.arange(H) / cell
         xx = np.arange(W) / cell
