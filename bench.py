@@ -47,8 +47,9 @@ def main() -> None:
     for batch in (int(v) for v in
                   os.environ.get("CLFD_BENCH_BATCHES", "1,8").split(",")):
         frames = np.broadcast_to(frame, (batch,) + frame.shape).copy()
-        det = BatchedPyramidDetector(spec, frame.shape, batch,
-                                     min_size=(40, 40))
+        det = BatchedPyramidDetector(
+            spec, frame.shape, batch, min_size=(40, 40),
+            front_stages=int(os.environ.get("CLFD_BENCH_FRONT", "8")))
         # warm-up: full path incl. potential cap regrowth
         res = det.detect(frames, min_neighbors=3)
         n_boxes = len(res[0].boxes)

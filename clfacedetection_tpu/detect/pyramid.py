@@ -271,9 +271,11 @@ class PyramidDetector:
             use_pallas_front = (jax.default_backend() == "tpu"
                                 and dtype == jnp.float32)
         self.use_pallas_front = bool(use_pallas_front)
+        self._visit_np = vm
+        self._front_kernels = {}
         if self.use_pallas_front:
             from ..ops.haar_front import build_front_kernel
-            bh, bw = 32, 256
+            self._kbh, self._kbw = bh, bw = 32, 256
             # halo DMAs read past the canvas: pad planes generously
             # (block sizes round up to the (8,128) tiling inside the kernel)
             self._pad_y = 2 * bh + h0 + 16
@@ -489,26 +491,54 @@ class PyramidDetector:
             out["weight"] = weight
         return out
 
-    def _front_device(self, gray):
-        """Program 1: canvas, integral, variance map, dense front stages.
-        Slices and elementwise only — no gathers."""
+    def _prep_planes(self, gray):
+        """Canvas assembly + integral + padding (vmap-safe, no kernels)."""
         c = self.compiled
-        dtype = self.dtype
         canvas = self._assemble_canvas(gray)
         ii = integral_images(canvas, with_tilted=c.has_tilted)
         padw = [(0, self._pad_y), (0, self._pad_x)]
         planes = {"sum": jnp.pad(ii.sum, padw)}
         if c.has_tilted:
             planes["tilted"] = jnp.pad(ii.tilted, padw)
-        shape = (self.plan.canvas_h + 1, self.plan.canvas_w + 1)
-        sq_hi = jnp.pad(ii.sq_hi, padw)
-        sq_lo = jnp.pad(ii.sq_lo, padw)
+        return planes, jnp.pad(ii.sq_hi, padw), jnp.pad(ii.sq_lo, padw)
 
+    def _front_kernel_for_batch(self, batch):
+        k = self._front_kernels.get(batch)
+        if k is None:
+            from ..ops.haar_front import build_front_kernel
+            c = self.compiled
+            k = build_front_kernel(
+                self.tables, c.spec, c.stage_threshold, self.front_k,
+                self.h0, self.w0, self.equ_y, self.equ_x, self.inv_area,
+                self._visit_np, c.has_tilted, bh=self._kbh, bw=self._kbw,
+                batch=batch)
+            self._front_kernels[batch] = k
+        return k
+
+    def _front_device_batch(self, grays):
+        """Batched front pass: vmapped prep + batch-gridded Pallas kernel
+        (vmap over ANY-space pallas operands is unsupported on TPU)."""
+        planes, sq_hi, sq_lo = jax.vmap(self._prep_planes)(grays)
+        if self.use_pallas_front:
+            kernel = self._front_kernel_for_batch(grays.shape[0])
+            front, vnf = kernel(dict(planes, sq_hi=sq_hi, sq_lo=sq_lo))
+            return dict(planes=planes, vnf=vnf,
+                        front=front.reshape(grays.shape[0], -1))
+        return jax.vmap(self._front_from_planes)(planes, sq_hi, sq_lo)
+
+    def _front_device(self, gray):
+        """Program 1: canvas, integral, variance map, dense front stages.
+        Slices and elementwise only — no gathers."""
+        planes, sq_hi, sq_lo = self._prep_planes(gray)
         if self.use_pallas_front:
             kplanes = dict(planes, sq_hi=sq_hi, sq_lo=sq_lo)
             front, vnf = self._front_kernel(kplanes)
             return dict(planes=planes, vnf=vnf, front=front.reshape(-1))
+        return self._front_from_planes(planes, sq_hi, sq_lo)
 
+    def _front_from_planes(self, planes, sq_hi, sq_lo):
+        dtype = self.dtype
+        shape = (self.plan.canvas_h + 1, self.plan.canvas_w + 1)
         # variance map (equ rect = (1,1,w0-2,h0-2), tempcv.cpp:1276-1278)
         win_sum = self._rect_sum_map(planes["sum"], self.equ_y, self.equ_x,
                                      shape).astype(dtype)

@@ -38,13 +38,16 @@ __all__ = ["build_front_kernel"]
 def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
                        h0: int, w0: int, equ_y, equ_x, inv_area: float,
                        visit: np.ndarray, has_tilted: bool,
-                       bh: int = 32, bw: int = 512):
-    """Returns fn(planes: dict[str, i32[Hp, Wp]]) -> (front bool[Hv, Wv],
-    vnf f32[Hv, Wv]) where (Hv, Wv) = visit.shape.
+                       bh: int = 32, bw: int = 512,
+                       batch: Optional[int] = None):
+    """Returns fn(planes: dict[str, i32[(B,) Hp, Wp]]) -> (front
+    bool[(B,) Hv, Wv], vnf f32[(B,) Hv, Wv]) where (Hv, Wv) = visit.shape.
 
     ``tables`` is detect.detector._ClfTables built at scale 1.0; ``spec``
     the (possibly truncated) CascadeSpec; planes must be padded by at least
-    (h0 + w0 + 4, h0 + w0 + 4 + bw) so halo DMAs stay in bounds.
+    one halo block so the DMAs stay in bounds.  ``batch`` bakes a leading
+    frame dimension into the grid (vmap over a pallas_call with ANY-space
+    operands is unsupported on TPU, so batching is explicit).
     """
     Hv, Wv = visit.shape
     grid_h = -(-Hv // bh)
@@ -69,16 +72,22 @@ def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
             visit_ref, front_ref, vnf_ref = rest[:3]
             scratches = rest[3:3 + n_planes]
             sems = rest[3 + n_planes]
-        i = pl.program_id(0)
-        j = pl.program_id(1)
+        if batch is None:
+            i = pl.program_id(0)
+            j = pl.program_id(1)
+        else:
+            b = pl.program_id(0)
+            i = pl.program_id(1)
+            j = pl.program_id(2)
         y0 = i * bh
         x0 = j * bw
         hbm_refs = [sum_hbm, sqhi_hbm, sqlo_hbm] + (
             [tilt_hbm] if has_tilted else [])
         dmas = []
         for k, (hbm, scr) in enumerate(zip(hbm_refs, scratches)):
-            dma = pltpu.make_async_copy(
-                hbm.at[pl.ds(y0, sh), pl.ds(x0, sw)], scr, sems.at[k])
+            src = (hbm.at[pl.ds(y0, sh), pl.ds(x0, sw)] if batch is None
+                   else hbm.at[b, pl.ds(y0, sh), pl.ds(x0, sw)])
+            dma = pltpu.make_async_copy(src, scr, sems.at[k])
             dma.start()
             dmas.append(dma)
         for dma in dmas:
@@ -147,21 +156,28 @@ def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
         vnf_ref[...] = vnf
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_planes
-    in_specs.append(pl.BlockSpec((bh, bw), lambda i, j: (i, j),
-                                 memory_space=pltpu.VMEM))
-    out_specs = (
-        pl.BlockSpec((bh, bw), lambda i, j: (i, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((bh, bw), lambda i, j: (i, j),
-                     memory_space=pltpu.VMEM),
-    )
+    if batch is None:
+        grid = (grid_h, grid_w)
+        in_specs.append(pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                                     memory_space=pltpu.VMEM))
+        ospec = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+        oshape = (grid_h * bh, grid_w * bw)
+    else:
+        grid = (batch, grid_h, grid_w)
+        in_specs.append(pl.BlockSpec((bh, bw), lambda b, i, j: (i, j),
+                                     memory_space=pltpu.VMEM))
+        ospec = pl.BlockSpec((None, bh, bw), lambda b, i, j: (b, i, j),
+                             memory_space=pltpu.VMEM)
+        oshape = (batch, grid_h * bh, grid_w * bw)
+    out_specs = (ospec, ospec)
     out_shape = (
-        jax.ShapeDtypeStruct((grid_h * bh, grid_w * bw), jnp.bool_),
-        jax.ShapeDtypeStruct((grid_h * bh, grid_w * bw), jnp.float32),
+        jax.ShapeDtypeStruct(oshape, jnp.bool_),
+        jax.ShapeDtypeStruct(oshape, jnp.float32),
     )
     call = pl.pallas_call(
         kernel,
-        grid=(grid_h, grid_w),
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -177,6 +193,6 @@ def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
             args.append(planes["tilted"])
         args.append(visit_dev)
         front, vnf = call(*args)
-        return front[:Hv, :Wv], vnf[:Hv, :Wv]
+        return front[..., :Hv, :Wv], vnf[..., :Hv, :Wv]
 
     return run

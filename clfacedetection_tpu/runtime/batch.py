@@ -41,13 +41,17 @@ class BatchedPyramidDetector:
                  **knobs):
         self.batch = int(batch)
         self.mesh = mesh
+        if mesh is not None:
+            # the Pallas front kernel is not SPMD-partitionable via jit
+            # shardings; the sharded path uses the (vmap-safe) XLA front
+            knobs.setdefault("use_pallas_front", False)
         self.det = PyramidDetector(spec, image_shape, **knobs)
         if self.det.n_levels == 0:
             return
-        # two-phase like the single-frame path (see PyramidDetector.
+        # phased like the single-frame path (see PyramidDetector.
         # _tail_device): the tail's gathers need their operands on a jit
         # parameter boundary to hit the fast TPU gather emitter
-        front = jax.vmap(self.det._front_device)
+        front = self.det._front_device_batch
         compact = jax.vmap(self.det._compact_device)
         tail = jax.vmap(self.det._tail_device)
         if mesh is not None:

@@ -83,6 +83,12 @@ def _paint_face(img: np.ndarray, cy: float, cx: float, s: float) -> None:
         m = ((yy - by) / ry) ** 2 + ((xx - bx) / rx) ** 2
         patch[...] += amp * np.exp(-m * 2.0)
 
+    # damp background texture under the face so the painted features
+    # dominate (real faces are smooth relative to scene texture)
+    env = np.exp(-(((yy - cy) / (s * 0.62)) ** 2
+                   + ((xx - cx) / (s * 0.48)) ** 2) * 2.0)
+    patch[...] = patch * (1 - 0.85 * env) + 105.0 * 0.85 * env
+
     blob(cy, cx, s * 0.62, s * 0.48, 95)                   # skin oval
     blob(cy - s * 0.18, cx - s * 0.20, s * 0.07, s * 0.12, -85)  # L eye
     blob(cy - s * 0.18, cx + s * 0.20, s * 0.07, s * 0.12, -85)  # R eye

@@ -1,0 +1,34 @@
+"""Pallas front kernel == XLA front pass, bit for bit (TPU only).
+
+The CPU test suite can't run Mosaic kernels; this test is exercised on
+real TPU hardware (it was also verified manually at 1080p: front mask and
+vnf map identical, see docs/PERF.md)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(jax.default_backend() != "tpu",
+                                reason="Pallas TPU kernel")
+
+
+def test_kernel_matches_xla_front():
+    from clfacedetection_tpu.detect import PyramidDetector
+    from clfacedetection_tpu.models import load_cascade
+    from clfacedetection_tpu.utils import synth_scene
+
+    img = synth_scene((240, 320), faces=[(120, 160, 60.0)])
+    spec = load_cascade("haarcascade_frontalface_alt")
+    dk = PyramidDetector(spec, img.shape, min_size=(40, 40),
+                         use_pallas_front=True)
+    dx = PyramidDetector(spec, img.shape, min_size=(40, 40),
+                         use_pallas_front=False)
+    gj = jnp.asarray(img)
+    fk = dk._jit_front(gj)
+    fx = dx._jit_front(gj)
+    assert bool(jnp.all(fk["front"] == fx["front"]))
+    assert bool(jnp.all(fk["vnf"] == fx["vnf"]))
+    ck, _ = dk.candidates(img)
+    cx, _ = dx.candidates(img)
+    assert set(map(tuple, ck)) == set(map(tuple, cx))
