@@ -49,7 +49,8 @@ def main() -> None:
         frames = np.broadcast_to(frame, (batch,) + frame.shape).copy()
         det = BatchedPyramidDetector(
             spec, frame.shape, batch, min_size=(40, 40),
-            front_stages=int(os.environ.get("CLFD_BENCH_FRONT", "8")))
+            front_stages=int(os.environ.get("CLFD_BENCH_FRONT", "12")),
+            cap=int(os.environ.get("CLFD_BENCH_CAP", "4096")))
         # warm-up: full path incl. potential cap regrowth
         res = det.detect(frames, min_neighbors=3)
         n_boxes = len(res[0].boxes)

@@ -39,7 +39,8 @@ def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
                        h0: int, w0: int, equ_y, equ_x, inv_area: float,
                        visit: np.ndarray, has_tilted: bool,
                        bh: int = 32, bw: int = 512,
-                       batch: Optional[int] = None):
+                       batch: Optional[int] = None,
+                       gate_after: int = 6):
     """Returns fn(planes: dict[str, i32[(B,) Hp, Wp]]) -> (front
     bool[(B,) Hv, Wv], vnf f32[(B,) Hv, Wv]) where (Hv, Wv) = visit.shape.
 
@@ -143,16 +144,65 @@ def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
 
             return walk(0)
 
-        front = visit_ref[...]
-        for st in range(front_k):
+        def node_map_sub(clf, t, oy, ox, th, tw):
+            scr = s_tilt if tables.use_tilted[clf, t] else s_sum
+            v = None
+            for k in range(3):
+                wk = float(clf_w[clf, t, k])
+                if wk == 0.0:
+                    continue
+                cy, cx = clf_cy[clf, t, k], clf_cx[clf, t, k]
+                rs = (scr[oy + cy[0]:oy + cy[0] + th,
+                          ox + cx[0]:ox + cx[0] + tw]
+                      - scr[oy + cy[1]:oy + cy[1] + th,
+                            ox + cx[1]:ox + cx[1] + tw]
+                      - scr[oy + cy[2]:oy + cy[2] + th,
+                            ox + cx[2]:ox + cx[2] + tw]
+                      + scr[oy + cy[3]:oy + cy[3] + th,
+                            ox + cx[3]:ox + cx[3] + tw]).astype(jnp.float32)
+                term = rs * np.float32(wk)
+                v = term if v is None else v + term
+            return v if v is not None else jnp.zeros((th, tw), jnp.float32)
+
+        def clf_map_sub(clf, oy, ox, th, tw, vnf_sub):
+            nvals = [node_map_sub(clf, t, oy, ox, th, tw)
+                     for t in range(int(tables.clf_valid_nodes[clf]))]
+
+            def walk(t):
+                cond = nvals[t] < np.float32(tables.threshold[clf, t]) \
+                    * vnf_sub
+                lf = int(tables.left[clf, t])
+                rt = int(tables.right[clf, t])
+                lval = (jnp.full((th, tw), tables.alpha[clf, -lf],
+                                 jnp.float32) if lf <= 0 else walk(lf))
+                rval = (jnp.full((th, tw), tables.alpha[clf, -rt],
+                                 jnp.float32) if rt <= 0 else walk(rt))
+                return jnp.where(cond, lval, rval)
+
+            return walk(0)
+
+        def stage_pass_sub(st, alive, oy, ox, th, tw, vnf_sub):
             c0 = int(spec.stage_clf_ofs[st])
             cnt = int(spec.stage_clf_cnt[st])
-            ssum = jnp.zeros((bh, bw), jnp.float32)
+            ssum = jnp.zeros((th, tw), jnp.float32)
             for jj in range(cnt):
-                ssum = ssum + clf_map(c0 + jj)
-            front = front & (ssum >= np.float32(stage_thresholds[st]))
+                ssum = ssum + clf_map_sub(c0 + jj, oy, ox, th, tw, vnf_sub)
+            return alive & (ssum >= np.float32(stage_thresholds[st]))
 
+        front = visit_ref[...]
+        g0 = min(gate_after, front_k)
+        for st in range(g0):
+            front = stage_pass_sub(st, front, 0, 0, bh, bw, vnf)
         front_ref[...] = front
+        # deep stages: whole tiles die fast on natural images — predicate
+        # per tile (@pl.when on the output ref; lax.cond doesn't legalize
+        # in Mosaic; (8,128) sub-tile gating measured slower: narrow ops)
+        for st in range(g0, front_k):
+            @pl.when(jnp.any(front_ref[...]))
+            def _deep(st=st):
+                front_ref[...] = stage_pass_sub(st, front_ref[...],
+                                                0, 0, bh, bw, vnf)
+
         vnf_ref[...] = vnf
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_planes
