@@ -182,6 +182,12 @@ class CascadeSpec:
             ww, wh = (int(v) for v in z["__meta_window"])
         return cls(name=name, window_w=ww, window_h=wh, **kwargs)
 
+    def clone(self) -> "CascadeSpec":
+        """Deep copy (the icvCloneHaarClassifier analog, tempcv.cpp:2198)."""
+        kwargs = {f: getattr(self, f).copy() for f in _ARRAY_FIELDS}
+        return CascadeSpec(name=self.name, window_w=self.window_w,
+                           window_h=self.window_h, **kwargs)
+
     def to_bytes(self) -> bytes:
         buf = io.BytesIO()
         self.save(buf)
