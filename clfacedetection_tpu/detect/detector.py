@@ -194,7 +194,8 @@ class ScaleCascadeDetector:
                  dtype=jnp.float32,
                  clf_chunk: int = 256,
                  max_stages: Optional[int] = None,
-                 do_canny_pruning: bool = False):
+                 do_canny_pruning: bool = False,
+                 device: Optional[str] = None):
         self.spec = spec
         self.H, self.W = int(image_shape[0]), int(image_shape[1])
         self.dtype = dtype
@@ -280,6 +281,14 @@ class ScaleCascadeDetector:
             pm[i, p] = True
         self._path_mask = dev(pm)
         self._pad = int(self.win_h.max() + self.win_w.max() + 4)
+        # Known issue: this program (lax.scan over scales with in-loop
+        # gathers) crashes the TPU runtime worker at >=VGA sizes on the
+        # current libtpu. Scale-cascade is the reference-parity mode, so
+        # auto-fall back to the CPU backend on TPU hosts; the pyramid
+        # detector is the TPU performance path. Override with device=.
+        if device is None and jax.default_backend() == "tpu":
+            device = "cpu"
+        self._exec_device = (jax.devices(device)[0] if device else None)
         self._jit_detect = jax.jit(self._detect_device)
 
     # ------------------------------------------------------------------
@@ -562,13 +571,20 @@ class ScaleCascadeDetector:
         ceiling is hit."""
         if self.n_scales == 0:
             return np.zeros((0, 4), np.int32), False
-        gray = jnp.asarray(gray, jnp.uint8)
-        out = jax.tree_util.tree_map(np.asarray, self._jit_detect(gray))
-        lattice = self.max_y * self.max_x
-        while bool(np.any(out["n_surv"] > self.cap)) and self.cap < lattice:
-            self.cap = min(self.cap * 4, lattice)
-            self._jit_detect = jax.jit(self._detect_device)
-            out = jax.tree_util.tree_map(np.asarray, self._jit_detect(gray))
+        import contextlib
+        ctx = (jax.default_device(self._exec_device) if self._exec_device
+               else contextlib.nullcontext())
+        with ctx:
+            gray = jnp.asarray(gray, jnp.uint8)
+            out = jax.tree_util.tree_map(np.asarray,
+                                         self._jit_detect(gray))
+            lattice = self.max_y * self.max_x
+            while bool(np.any(out["n_surv"] > self.cap)) \
+                    and self.cap < lattice:
+                self.cap = min(self.cap * 4, lattice)
+                self._jit_detect = jax.jit(self._detect_device)
+                out = jax.tree_util.tree_map(np.asarray,
+                                             self._jit_detect(gray))
         boxes: List[np.ndarray] = []
         overflow = bool(np.any(out["n_surv"] > self.cap))
         for k in range(self.n_scales):
