@@ -3,8 +3,9 @@
 Implements the reference's CV_HAAR_SCALE_IMAGE mode (OpenCV's modern
 default: downscale the image per level, keep the 20x20 window fixed;
 tempcv.cpp:1257-1328 + HaarDetectObjects_ScaleImage_Invoker
-tempcv.cpp:989-1113) as a single compiled XLA program built around three
-TPU-first ideas:
+tempcv.cpp:989-1113) as three phased device programs (front -> compaction
+-> tail; see _tail_device for why the phases are separate jits) built
+around three TPU-first ideas:
 
 1. **Pyramid packing.**  All levels are resized (pinned 2.4-era fixed-point
    bilinear, ops/resize.py) and stacked into ONE canvas; ONE integral pass
@@ -17,12 +18,14 @@ TPU-first ideas:
 
 2. **Static everything.**  At scale 1 the feature geometry needs no
    rounding, so front stages are evaluated densely over the whole canvas
-   with *static* shifted slices (fused VPU stencils — no gathers, no
-   per-scale tables), and the scan lattice (ystep 2/1 per level, strip
-   bounds y < lvl_h - h0, x < lvl_w - w0, tempcv.cpp:1015-1020) is a
-   host-precomputed constant mask.  Scale-image mode has no skip-by-2
-   feedback (the x loop steps unconditionally, tempcv.cpp:1092-1106), so
-   the visit set is fully static.
+   with *static* shifted slices (no gathers, no per-scale tables) — as a
+   Pallas kernel on TPU (ops/haar_front.py, deep stages tile-gated) with
+   an equivalent XLA path as specification/fallback — and the scan
+   lattice (ystep 2/1 per level, strip bounds y < lvl_h - h0,
+   x < lvl_w - w0, tempcv.cpp:1015-1020) is a host-precomputed constant
+   mask.  Scale-image mode has no skip-by-2 feedback (the x loop steps
+   unconditionally, tempcv.cpp:1092-1106), so the visit set is fully
+   static.
 
 3. **MXU tail.**  Front-stage survivors are compacted (static cap) and
    their windows evaluated in one matmul: a gathered *local rect-integral
