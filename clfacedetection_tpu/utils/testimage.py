@@ -1,20 +1,82 @@
-"""Synthetic test imagery.
+"""Test imagery: a bundled real photograph plus procedural synthetics.
 
 The reference benchmarks against a JPEG photo loaded from a hardcoded
-developer path (main.cpp:48); this repo has no image assets, so tests and
-benchmarks use procedurally generated frontal-face patterns that reliably
-fire the bundled cascades end to end (verified: the full 25-stage
-``frontalface_default`` and 22-stage ``frontalface_alt`` cascades produce
-stable detections on these patterns).
+developer path (main.cpp:47-51).  This repo bundles one real photograph —
+``grace_hopper.jpg`` (a public-domain US Navy portrait, shipped with
+matplotlib) — whose frontal face both ``frontalface_alt`` and
+``frontalface_default`` detect cleanly; ``photo_scene`` composes 1080p
+benchmark frames from it so throughput numbers carry natural-image
+statistics (procedural textures reject unrealistically slowly in the
+early cascade stages AND spread survivors uniformly, defeating tile
+pruning — real scenes cluster).  The procedural ``synth_face`` /
+``synth_scene`` remain for deterministic unit/parity fixtures.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["synth_face", "synth_scene"]
+__all__ = ["synth_face", "synth_scene", "photo_gray", "photo_scene",
+           "PHOTO_FACE_BOX"]
+
+_DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data")
+
+#: frontalface_alt detection on the raw photo (x, y, w, h), minNeighbors=3
+PHOTO_FACE_BOX = (146, 101, 232, 232)
+
+_photo_cache: dict = {}
+
+
+def photo_gray() -> np.ndarray:
+    """The bundled photograph as OpenCV-convention grayscale uint8
+    (0.299R + 0.587G + 0.114B, the clif.cl:1-2 coefficients)."""
+    if "gray" not in _photo_cache:
+        from PIL import Image
+        rgb = np.asarray(Image.open(
+            os.path.join(_DATA_DIR, "grace_hopper.jpg"))).astype(np.float32)
+        gray = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        _photo_cache["gray"] = np.clip(gray, 0, 255).astype(np.uint8)
+    return _photo_cache["gray"].copy()
+
+
+def _resize_u8(img: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
+    from PIL import Image
+    return np.asarray(Image.fromarray(img).resize(
+        (shape[1], shape[0]), Image.BILINEAR))
+
+
+def photo_scene(shape: Tuple[int, int] = (1080, 1920),
+                face_sizes: Sequence[int] = (70, 110, 180),
+                seed: int = 7) -> np.ndarray:
+    """A ``shape`` frame with real-photo statistics: the photograph
+    upscaled as backdrop, plus one pasted copy per entry of
+    ``face_sizes`` scaled so its face box is about that many pixels.
+    Deterministic for a given (shape, face_sizes, seed)."""
+    key = (shape, tuple(face_sizes), seed)
+    if key in _photo_cache:
+        return _photo_cache[key].copy()
+    H, W = shape
+    base = photo_gray()
+    bh, bw = base.shape
+    # backdrop: cover-fit crop of the upscaled photo
+    s = max(H / bh, W / bw)
+    up = _resize_u8(base, (int(round(bh * s)) + 1, int(round(bw * s)) + 1))
+    scene = up[:H, :W].copy()
+    rng = np.random.default_rng(seed)
+    fw = PHOTO_FACE_BOX[2]
+    for size in face_sizes:
+        f = size / fw
+        ph, pw = max(8, int(round(bh * f))), max(8, int(round(bw * f)))
+        patch = _resize_u8(base, (ph, pw))
+        y = int(rng.integers(0, max(1, H - ph)))
+        x = int(rng.integers(0, max(1, W - pw)))
+        scene[y:y + ph, x:x + pw] = patch
+    _photo_cache[key] = scene
+    return scene.copy()
 
 
 def synth_face(shape: Tuple[int, int] = (120, 160),
