@@ -72,6 +72,7 @@ def test_single_scale_config1(image):
     assert set(map(tuple, np.asarray(gold))) == set(map(tuple, cand))
 
 
+@pytest.mark.slow
 def test_multi_cascade_batch():
     """BASELINE config 5 shape: several cascades over one frame batch."""
     from clfacedetection_tpu.runtime import BatchedPyramidDetector

@@ -34,9 +34,10 @@ CASES = [
     # (cascade, truncation) — families: pure stumps / CART trees /
     # tilted rects / stage-tree links
     ("haarcascade_frontalface_default", 4),   # stumps, 24x24
-    ("haarcascade_frontalface_alt2", 4),      # CART depth-2 trees
+    pytest.param("haarcascade_frontalface_alt2", 4,
+                 marks=pytest.mark.slow),      # CART depth-2 trees
     ("haarcascade_mcs_nose", 4),              # tilted features
-    ("haarcascade_frontalface_alt_tree", 6),  # stage tree
+    pytest.param("haarcascade_frontalface_alt_tree", 6, marks=pytest.mark.slow),  # stage tree
 ]
 
 
@@ -56,6 +57,7 @@ def test_candidate_parity(image, name, max_stages):
                       f"{len(js - gs)} jax-only boxes")
 
 
+@pytest.mark.slow
 def test_grouped_parity(image):
     spec = load_cascade("haarcascade_frontalface_default")
     gold = detect_multi_scale_reference(
@@ -66,6 +68,7 @@ def test_grouped_parity(image):
     assert set(map(tuple, np.asarray(gold))) == set(map(tuple, res.boxes))
 
 
+@pytest.mark.slow
 def test_full_cascade_real_detections():
     """Full 25-stage cascade end to end on a synthetic face — the two
     implementations must agree on actual (non-empty) detections."""
@@ -93,6 +96,7 @@ def test_min_size_scales(image):
     assert all(b[2] >= 40 for b in cand)
 
 
+@pytest.mark.slow
 def test_float32_mode_close(image):
     """float32 execution (the TPU fast mode) may flip borderline votes but
     must agree on the overwhelming majority of candidates."""

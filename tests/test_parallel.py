@@ -23,6 +23,7 @@ def frames():
                      for i in range(8)])
 
 
+@pytest.mark.slow
 def test_batched_matches_single(frames):
     spec = load_cascade("haarcascade_frontalface_default")
     single = PyramidDetector(spec, (96, 128), max_stages=5)
@@ -36,6 +37,7 @@ def test_batched_matches_single(frames):
         assert set(map(tuple, ref)) == set(map(tuple, got)), f"frame {i}"
 
 
+@pytest.mark.slow
 def test_shard_map_matches_batched(frames):
     spec = load_cascade("haarcascade_frontalface_default")
     mesh = data_parallel_mesh(jax.devices()[:8])

@@ -26,7 +26,7 @@ CASES = [
     ("haarcascade_frontalface_default", 4),   # stumps, 24x24 window
     ("haarcascade_frontalface_alt2", 4),      # CART depth-2 trees
     ("haarcascade_mcs_nose", 4),              # tilted features
-    ("haarcascade_frontalface_alt_tree", 5),  # stage tree
+    pytest.param("haarcascade_frontalface_alt_tree", 5, marks=pytest.mark.slow),  # stage tree
 ]
 
 

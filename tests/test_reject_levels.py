@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from clfacedetection_tpu.detect import (
     PyramidDetector, detect_multi_scale_reference)
@@ -29,6 +30,7 @@ def test_reject_levels_parity():
         assert abs(gd[k] - jd[k]) < 1e-9
 
 
+@pytest.mark.slow
 def test_reject_levels_grouped():
     img = synth_face((120, 160))
     spec = load_cascade("haarcascade_frontalface_default")
