@@ -169,14 +169,55 @@ class _Level:
     h: int
     w: int
     oy: int          # canvas row offset
+    ox: int          # canvas column offset
     ystep: int       # 1 if factor > 2 else 2
     win_w: int       # cvRound(w0 * factor): output box size
     win_h: int
 
 
+def _pack_levels(dims: List[Tuple[int, int]], cw: int,
+                 quantum: int = 8) -> Tuple[List[Tuple[int, int]], int]:
+    """First-fit occupancy-grid packing of ``(h, w)`` rectangles into a
+    strip of width ``cw``: each rectangle goes to the raster-first free
+    position on a ``quantum``-aligned grid.  Returns offsets and the used
+    height.  Levels shrink geometrically, so first-fit over the
+    height-sorted list stays within a few percent of the area bound."""
+    if not dims:
+        return [], 1
+    gq = quantum
+    gw = max(1, cw // gq)
+    gh = (sum(h for h, _ in dims) + gq - 1) // gq + 1
+    occ = np.zeros((gh, gw), np.int32)
+    offsets: List[Tuple[int, int]] = []
+    used_h = 0
+    for h, w in dims:
+        ch = -(-h // gq)
+        cw_ = min(-(-w // gq), gw)  # wider than strip: degenerate
+        ii = np.zeros((gh + 1, gw + 1), np.int64)
+        ii[1:, 1:] = occ.cumsum(0).cumsum(1)  # zero-padded integral
+        ys = gh - ch + 1
+        xs = gw - cw_ + 1
+        # occupancy of the window rooted at each (gy, gx)
+        free = (ii[ch:ch + ys, cw_:cw_ + xs] - ii[:ys, cw_:cw_ + xs]
+                - ii[ch:ch + ys, :xs] + ii[:ys, :xs]) == 0
+        gy, gx = np.argwhere(free)[0]
+        occ[gy:gy + ch, gx:gx + cw_] = 1
+        offsets.append((int(gy) * gq, int(gx) * gq))
+        used_h = max(used_h, int(gy) * gq + h)
+    return offsets, max(used_h, 1)
+
+
 @dataclasses.dataclass
 class PyramidPlan:
-    """Host-side static geometry of the packed pyramid."""
+    """Host-side static geometry of the packed pyramid.
+
+    Levels are shelf-packed into a 2-D canvas (first-fit on an 8px grid)
+    instead of stacked at uniform width: a 4-corner rect sum over the
+    shared integral image is exact for any rect fully inside its level
+    regardless of neighbors, and the visit mask keeps every window inside
+    its level, so levels need no gap in either direction.  At 1080p this
+    cuts canvas area ~1.6x vs vertical stacking (the dense front pass is
+    proportional to canvas area)."""
 
     levels: List[_Level]
     canvas_h: int
@@ -190,19 +231,30 @@ class PyramidPlan:
         factors = scale_factors(spec.window_w, spec.window_h, W, H,
                                 scale_factor, min_size, max_size,
                                 mode="scale_image")
-        levels: List[_Level] = []
-        oy = 0
-        for f in factors:
-            h = int(cv_round(H / f))
-            w = int(cv_round(W / f))
-            levels.append(_Level(
-                factor=f, h=h, w=w, oy=oy,
-                ystep=1 if f > 2 else 2,
-                win_w=int(cv_round(spec.window_w * f)),
-                win_h=int(cv_round(spec.window_h * f))))
-            oy += h
-        cw = max((lv.w for lv in levels), default=1)
-        return cls(levels=levels, canvas_h=max(oy, 1), canvas_w=cw)
+        dims = [(int(cv_round(H / f)), int(cv_round(W / f)))
+                for f in factors]
+        if not dims:
+            return cls(levels=[], canvas_h=1, canvas_w=1)
+        # choose the strip width minimizing the (32, 256)-padded grid area
+        # the front kernel will actually sweep
+        w_max = max(w for _, w in dims)
+        best = None
+        for cw_cand in {-(-w_max // 128) * 128,
+                        -(-w_max // 128) * 128 + 128,
+                        -(-(w_max * 3 // 2) // 128) * 128,
+                        -(-2 * w_max // 128) * 128}:
+            offs, hh = _pack_levels(dims, cw_cand)
+            grid_area = (-(-hh // 32) * 32) * (-(-cw_cand // 256) * 256)
+            if best is None or grid_area < best[0]:
+                best = (grid_area, cw_cand, offs, hh)
+        _, cw, offsets, used_h = best
+        levels = [
+            _Level(factor=f, h=h, w=w, oy=oy, ox=ox,
+                   ystep=1 if f > 2 else 2,
+                   win_w=int(cv_round(spec.window_w * f)),
+                   win_h=int(cv_round(spec.window_h * f)))
+            for f, (h, w), (oy, ox) in zip(factors, dims, offsets)]
+        return cls(levels=levels, canvas_h=used_h, canvas_w=cw)
 
     def visit_mask(self, w0: int, h0: int) -> np.ndarray:
         """Static scan lattice on the canvas: the exact visit set of
@@ -215,20 +267,38 @@ class PyramidPlan:
                 continue
             ys = np.arange(0, y2, lv.ystep)
             xs = np.arange(0, x2, lv.ystep)
-            m[np.ix_(lv.oy + ys, xs)] = True
+            m[np.ix_(lv.oy + ys, lv.ox + xs)] = True
         return m
+
+    def _level_map(self) -> np.ndarray:
+        """[canvas_h+1, canvas_w+1] int16 position -> level index (-1
+        outside any level's scan origin area); built lazily once."""
+        lm = getattr(self, "_lm", None)
+        if lm is None:
+            lm = np.full((self.canvas_h + 1, self.canvas_w + 1), -1,
+                         np.int16)
+            for i, lv in enumerate(self.levels):
+                lm[lv.oy:lv.oy + lv.h, lv.ox:lv.ox + lv.w] = i
+            self._lm = lm
+        return lm
 
     def boxes_for(self, cy: np.ndarray, cx: np.ndarray) -> np.ndarray:
         """Map canvas scan positions to original-image boxes
         (Rect(cvRound(x*f), cvRound(y*f), winW, winH), tempcv.cpp:1096)."""
-        starts = np.array([lv.oy for lv in self.levels])
-        idx = np.searchsorted(starts, cy, side="right") - 1
+        cy = np.asarray(cy, np.int64)
+        cx = np.asarray(cx, np.int64)
+        lm = self._level_map()
+        idx = lm[cy, cx].astype(np.int64)
+        f = np.array([lv.factor for lv in self.levels])
+        oy = np.array([lv.oy for lv in self.levels])
+        ox = np.array([lv.ox for lv in self.levels])
+        ww = np.array([lv.win_w for lv in self.levels], np.int32)
+        wh = np.array([lv.win_h for lv in self.levels], np.int32)
         out = np.empty((len(cy), 4), np.int32)
-        for i, (yy, xx, k) in enumerate(zip(cy, cx, idx)):
-            lv = self.levels[int(k)]
-            out[i] = (int(cv_round(xx * lv.factor)),
-                      int(cv_round((yy - lv.oy) * lv.factor)),
-                      lv.win_w, lv.win_h)
+        out[:, 0] = cv_round((cx - ox[idx]) * f[idx])
+        out[:, 1] = cv_round((cy - oy[idx]) * f[idx])
+        out[:, 2] = ww[idx]
+        out[:, 3] = wh[idx]
         return out
 
 
@@ -364,7 +434,8 @@ class PyramidDetector:
         for lv in plan.levels:
             lvl = (gray if (lv.h, lv.w) == (self.H, self.W)
                    else resize_bilinear_u8(gray, (lv.h, lv.w)))
-            canvas = jax.lax.dynamic_update_slice(canvas, lvl, (lv.oy, 0))
+            canvas = jax.lax.dynamic_update_slice(canvas, lvl,
+                                                  (lv.oy, lv.ox))
         return canvas
 
     def _rect_sum_map(self, img, oy, ox, shape):

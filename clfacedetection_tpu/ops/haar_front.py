@@ -11,19 +11,28 @@ Design (one kernel, one pass over the canvas):
   (BH + h0 + 1, BW + w0 + 1) halo block HBM->VMEM (hand-rolled halo copy —
   BlockSpec blocks can't overlap), then evaluates every front node with
   *static* VMEM slices: at unit scale all rect corner offsets are
-  compile-time constants, so a rect sum over the whole tile is 4 shifted
-  slice adds on the VPU.
+  compile-time constants, so a rect sum over the whole tile is pure
+  shifted-slice arithmetic on the VPU.
+* upright rects are evaluated through shared **row-difference maps**:
+  for corners ((y1,x1),(y1,x2),(y2,x1),(y2,x2)) with signs (+,-,-,+),
+  rect = D[x1] - D[x2] with D = I[y1,:] - I[y2,:].  D has no lane shift
+  (column-aligned full-width subtract) and is cached per (plane, y1, y2)
+  within each stage, so nodes sharing a row span pay for it once and the
+  per-rect cost drops from 4 lane-rotated slices + 3 adds to 2 lane-rotated
+  slices + 1 sub.  Integer reassociation is exact, so this is bit-identical
+  to the 4-corner form.  Tilted rects (4 distinct corners,
+  tempcv.cpp:743-750) keep the 4-corner form.
 * stump votes / CART walks / stage sums / the static visit-lattice mask
   all happen in-register per tile; outputs are the boolean survivor tile
   and the float32 vnf tile.
 
 The XLA fallback (PyramidDetector._front_maps) remains the specification;
-the kernel must match it bit-for-bit in float32 (same op order).
+the kernel must match it bit-for-bit in float32 (same float op order —
+only the exact integer rect sums are reassociated).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -97,8 +106,23 @@ def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
         s_sum, s_hi, s_lo = scratches[0], scratches[1], scratches[2]
         s_tilt = scratches[3] if has_tilted else None
 
+        # ---- rect evaluation with a scoped row-difference cache --------
+        import os
+        rd_mode = int(os.environ.get("CLFD_FRONT_ROWDIFF", "1"))
+        dcache = {}
+
         def rect(scr, cy, cx):
-            """Rect sum over the whole tile: 4 static shifted slices."""
+            """Rect sum over the whole tile (4-corner signs + - - +)."""
+            upright = (cy[0] == cy[1] and cy[2] == cy[3]
+                       and cx[0] == cx[2] and cx[1] == cx[3])
+            if upright and rd_mode:
+                key = (id(scr), int(cy[0]), int(cy[2]))
+                d = dcache.get(key)
+                if d is None:
+                    d = (scr[cy[0]:cy[0] + bh, :]
+                         - scr[cy[2]:cy[2] + bh, :])
+                    dcache[key] = d
+                return d[:, cx[0]:cx[0] + bw] - d[:, cx[1]:cx[1] + bw]
             return (scr[cy[0]:cy[0] + bh, cx[0]:cx[0] + bw]
                     - scr[cy[1]:cy[1] + bh, cx[1]:cx[1] + bw]
                     - scr[cy[2]:cy[2] + bh, cx[2]:cx[2] + bw]
@@ -144,55 +168,21 @@ def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
 
             return walk(0)
 
-        def node_map_sub(clf, t, oy, ox, th, tw):
-            scr = s_tilt if tables.use_tilted[clf, t] else s_sum
-            v = None
-            for k in range(3):
-                wk = float(clf_w[clf, t, k])
-                if wk == 0.0:
-                    continue
-                cy, cx = clf_cy[clf, t, k], clf_cx[clf, t, k]
-                rs = (scr[oy + cy[0]:oy + cy[0] + th,
-                          ox + cx[0]:ox + cx[0] + tw]
-                      - scr[oy + cy[1]:oy + cy[1] + th,
-                            ox + cx[1]:ox + cx[1] + tw]
-                      - scr[oy + cy[2]:oy + cy[2] + th,
-                            ox + cx[2]:ox + cx[2] + tw]
-                      + scr[oy + cy[3]:oy + cy[3] + th,
-                            ox + cx[3]:ox + cx[3] + tw]).astype(jnp.float32)
-                term = rs * np.float32(wk)
-                v = term if v is None else v + term
-            return v if v is not None else jnp.zeros((th, tw), jnp.float32)
-
-        def clf_map_sub(clf, oy, ox, th, tw, vnf_sub):
-            nvals = [node_map_sub(clf, t, oy, ox, th, tw)
-                     for t in range(int(tables.clf_valid_nodes[clf]))]
-
-            def walk(t):
-                cond = nvals[t] < np.float32(tables.threshold[clf, t]) \
-                    * vnf_sub
-                lf = int(tables.left[clf, t])
-                rt = int(tables.right[clf, t])
-                lval = (jnp.full((th, tw), tables.alpha[clf, -lf],
-                                 jnp.float32) if lf <= 0 else walk(lf))
-                rval = (jnp.full((th, tw), tables.alpha[clf, -rt],
-                                 jnp.float32) if rt <= 0 else walk(rt))
-                return jnp.where(cond, lval, rval)
-
-            return walk(0)
-
-        def stage_pass_sub(st, alive, oy, ox, th, tw, vnf_sub):
+        def stage_pass(st, alive):
+            # scope the row-diff cache per stage: bounds live VMEM ranges
+            if rd_mode < 2:
+                dcache.clear()
             c0 = int(spec.stage_clf_ofs[st])
             cnt = int(spec.stage_clf_cnt[st])
-            ssum = jnp.zeros((th, tw), jnp.float32)
+            ssum = jnp.zeros((bh, bw), jnp.float32)
             for jj in range(cnt):
-                ssum = ssum + clf_map_sub(c0 + jj, oy, ox, th, tw, vnf_sub)
+                ssum = ssum + clf_map(c0 + jj)
             return alive & (ssum >= np.float32(stage_thresholds[st]))
 
         front = visit_ref[...]
         g0 = min(gate_after, front_k)
         for st in range(g0):
-            front = stage_pass_sub(st, front, 0, 0, bh, bw, vnf)
+            front = stage_pass(st, front)
         front_ref[...] = front
         # deep stages: whole tiles die fast on natural images — predicate
         # per tile (@pl.when on the output ref; lax.cond doesn't legalize
@@ -200,8 +190,7 @@ def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
         for st in range(g0, front_k):
             @pl.when(jnp.any(front_ref[...]))
             def _deep(st=st):
-                front_ref[...] = stage_pass_sub(st, front_ref[...],
-                                                0, 0, bh, bw, vnf)
+                front_ref[...] = stage_pass(st, front_ref[...])
 
         vnf_ref[...] = vnf
 
