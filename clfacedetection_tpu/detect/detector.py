@@ -243,7 +243,11 @@ class ScaleCascadeDetector:
         self.win_w = np.array([t.win_w for t in sc_tables], np.int32)
         self.win_h = np.array([t.win_h for t in sc_tables], np.int32)
 
-        dev = jnp.asarray
+        # numpy on purpose — these become HLO literals inside the traced
+        # program.  Capturing committed jax.Arrays instead (any size)
+        # poisons this platform's dispatch path process-wide (~800x gather
+        # slowdowns; see ops/haar_front.py note + docs/PERF.md).
+        dev = np.asarray
         t = self.tables
         self._scan_xs = dict(
             corner_y=dev(t.corner_y), corner_x=dev(t.corner_x),
@@ -279,7 +283,7 @@ class ScaleCascadeDetector:
         pm = np.zeros((len(self.paths), self.n_stages), bool)
         for i, p in enumerate(self.paths):
             pm[i, p] = True
-        self._path_mask = dev(pm)
+        self._path_mask = pm
         self._pad = int(self.win_h.max() + self.win_w.max() + 4)
         # Known issue: this program (lax.scan over scales with in-loop
         # gathers) crashes the TPU runtime worker at >=VGA sizes on the

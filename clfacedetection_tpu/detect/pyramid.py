@@ -77,9 +77,10 @@ def _cart_votes(nv, svnf, tables, T, dtype):
     # per-node decision bits: compare once, walk on booleans
     cmp = nv < thr[None] * svnf[:, None, None]   # [cap, n_clf, T]
     if T == 1:
-        # stump fast path: leaf links are 0 / -k constants
-        a_l = alpha[jnp.arange(alpha.shape[0]), -left[:, 0]][None]
-        a_r = alpha[jnp.arange(alpha.shape[0]), -right[:, 0]][None]
+        # stump fast path: leaf links are 0 / -k constants (np.arange so
+        # all-numpy tables fold at trace time instead of gathering)
+        a_l = alpha[np.arange(alpha.shape[0]), -left[:, 0]][None]
+        a_r = alpha[np.arange(alpha.shape[0]), -right[:, 0]][None]
         return jnp.where(cmp[..., 0], a_l, a_r)
 
     def sel(table_cap_t, idx):
@@ -351,7 +352,9 @@ class PyramidDetector:
         self.inv_area = sc1.inv_area
 
         vm = self.plan.visit_mask(w0, h0)
-        self._visit = jnp.asarray(vm)
+        # numpy on purpose: captured jax.Arrays poison the runtime's
+        # dispatch path process-wide (see ops/haar_front.py note)
+        self._visit = vm
         self.n_visit = int(vm.sum())
         if cap is None:
             cap = int(2 ** np.ceil(np.log2(
@@ -362,16 +365,16 @@ class PyramidDetector:
         self._build_stencils()
         t = self.tables
         self._consts = dict(
-            threshold=jnp.asarray(t.threshold),
-            left=jnp.asarray(t.left), right=jnp.asarray(t.right),
-            alpha=jnp.asarray(t.alpha),
-            clf_stage=jnp.asarray(t.clf_stage),
-            stage_threshold=jnp.asarray(c.stage_threshold),
+            threshold=np.asarray(t.threshold),
+            left=np.asarray(t.left), right=np.asarray(t.right),
+            alpha=np.asarray(t.alpha),
+            clf_stage=np.asarray(t.clf_stage),
+            stage_threshold=np.asarray(c.stage_threshold),
         )
         pm = np.zeros((len(self.paths), self.n_stages), bool)
         for i, p in enumerate(self.paths):
             pm[i, p] = True
-        self._path_mask = jnp.asarray(pm)
+        self._path_mask = pm
         self._pad = w0 + h0 + 4
         if use_pallas_front is None:
             use_pallas_front = (jax.default_backend() == "tpu"
@@ -423,9 +426,8 @@ class PyramidDetector:
                     for j in range(4):
                         row = int(cy[c, tt, k, j]) * P_w + int(cx[c, tt, k, j])
                         target[row, col] += signs[j] * wk
-        self._sten_sum = jnp.asarray(sten_sum)
-        self._sten_tilt = (jnp.asarray(sten_tilt)
-                           if sten_tilt is not None else None)
+        self._sten_sum = sten_sum
+        self._sten_tilt = sten_tilt
 
     # ------------------------------------------------------------------
     def _assemble_canvas(self, gray):
@@ -661,7 +663,7 @@ class PyramidDetector:
                         jnp.ones_like(var))
 
         passes = self._front_maps(planes, vnf, shape)
-        front = self._visit
+        front = jnp.asarray(self._visit)
         for p in passes:
             front = front & p
         out = dict(planes=planes, vnf=vnf, front=front.reshape(-1))

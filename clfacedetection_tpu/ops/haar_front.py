@@ -224,7 +224,12 @@ def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
                         for _ in range(n_planes)]
         + [pltpu.SemaphoreType.DMA((n_planes,))],
     )
-    visit_dev = jnp.asarray(visit_pad)
+    # NB: kept as a *numpy* array so it enters the traced program as an HLO
+    # literal.  Closure-capturing a committed jax.Array (any size, even 16
+    # bytes) forces this platform's runtime onto a pathological dispatch
+    # path: the call itself slows ~100x and every subsequent gather/scatter
+    # in the process degrades ~800x (measured; see docs/PERF.md).
+    visit_dev = np.asarray(visit_pad)
 
     def run(planes):
         args = [planes["sum"], planes["sq_hi"], planes["sq_lo"]]
