@@ -141,15 +141,28 @@ class CascadeClassifier:
                             max_size: Optional[Tuple[int, int]] = None,
                             **knobs):
         """ROC variant (cv2's detectMultiScale3 / outputRejectLevels):
-        returns (boxes, reject_levels, level_weights).  Scale-image mode
-        only (the reference's ROC path lives in the ScaleImage invoker,
-        tempcv.cpp:1084-1095)."""
-        if self.mode != "scale_image":
-            raise ValueError("reject levels require mode='scale_image'")
+        returns (boxes, reject_levels, level_weights).
+
+        Per-window levels exist only in scale-image mode (the reference's
+        level collection lives in the ScaleImage invoker,
+        tempcv.cpp:1084-1095).  In scale-cascade mode the reference's
+        ``cvHaarDetectObjectsForROC`` still accepts outputRejectLevels
+        but its invoker never fills the vectors (tempcv.cpp:1155-1158),
+        so the levels-overload grouping sees empty levels and —
+        faithfully reproduced here — returns no boxes for
+        ``min_neighbors > 0`` and boxes with empty level arrays for
+        ``min_neighbors == 0`` (tempcv.cpp:1466-1469)."""
         gray = _to_gray(image)
-        det = self._detector(gray.shape, scale_factor, min_size, max_size,
-                             output_levels=True, **knobs)
-        boxes, levels, weights, _ = det.candidates_with_levels(gray)
+        if self.mode != "scale_image":
+            det = self._detector(gray.shape, scale_factor, min_size,
+                                 max_size, **knobs)
+            boxes, _ = det.candidates(gray)
+            levels = np.zeros(0, np.int32)
+            weights = np.zeros(0, np.float64)
+        else:
+            det = self._detector(gray.shape, scale_factor, min_size,
+                                 max_size, output_levels=True, **knobs)
+            boxes, levels, weights, _ = det.candidates_with_levels(gray)
         if min_neighbors != 0:
             from .detect.grouping import group_rectangles_levels
             return group_rectangles_levels(boxes, levels, weights,

@@ -170,13 +170,20 @@ def group_rectangles_levels(boxes: np.ndarray, reject_levels: np.ndarray,
     counts = np.bincount(labels, minlength=ncls).astype(np.int32)
     cls_level = np.zeros(ncls, np.int64)
     cls_weight = np.full(ncls, np.finfo(np.float64).tiny)
-    for i, cls in enumerate(labels):
-        if reject_levels[i] > cls_level[cls]:
-            cls_level[cls] = reject_levels[i]
-            cls_weight[cls] = level_weights[i]
-        elif reject_levels[i] == cls_level[cls] \
-                and level_weights[i] > cls_weight[cls]:
-            cls_weight[cls] = level_weights[i]
+    # the level-fill loop is guarded on BOTH inputs being non-empty
+    # (tempcv.cpp:176: ``weights && !weights->empty() &&
+    # !levelWeights->empty()``); with empty levels — the scale-cascade
+    # driver never fills them (only the ScaleImage invoker does,
+    # tempcv.cpp:1084-1095) — every class keeps level 0 and the
+    # ``n1 <= groupThreshold`` keep-test below drops everything
+    if len(reject_levels) and len(level_weights):
+        for i, cls in enumerate(labels):
+            if reject_levels[i] > cls_level[cls]:
+                cls_level[cls] = reject_levels[i]
+                cls_weight[cls] = level_weights[i]
+            elif reject_levels[i] == cls_level[cls] \
+                    and level_weights[i] > cls_weight[cls]:
+                cls_weight[cls] = level_weights[i]
     s = (np.float32(1.0) / counts.astype(np.float32))[:, None]
     rrects = (sums.astype(np.float32) * s).astype(np.int64)
 

@@ -328,13 +328,23 @@ class PyramidDetector:
         self.is_tree = c.is_tree
         self.paths = _stage_paths(c)
         self.front_k = max(1, min(front_stages, self.n_stages))
+        if self.is_tree:
+            # the dense front ANDs its stages, which is only sound over
+            # the stages common to every root-to-leaf path (a window may
+            # fail stage 5 yet be accepted through the sibling subtree,
+            # tempcv.cpp:849-856) — clamp to the longest common prefix
+            common = min(len(p) for p in self.paths)
+            for i in range(common):
+                if len({p[i] for p in self.paths}) != 1:
+                    common = i
+                    break
+            self.front_k = max(1, min(self.front_k, common))
         self.output_levels = bool(output_levels)
-        if self.output_levels:
-            if self.is_tree:
-                raise ValueError("reject levels unsupported for stage-tree "
-                                 "cascades on the TPU path")
+        if self.output_levels and not self.is_tree:
             # windows rejected within 4 stages of the end are reported
             # (tempcv.cpp:1087), so they must reach the tail evaluation
+            # (stage-tree rejects return 0 -> n_stages + 0 >= 4 -> never
+            # reported, tempcv.cpp:858,1086-1088; no clamp needed)
             self.front_k = max(1, min(self.front_k, self.n_stages - 4))
         self.plan = PyramidPlan.build(spec, image_shape, scale_factor,
                                       min_size, max_size)
@@ -588,7 +598,21 @@ class PyramidDetector:
         else:
             accept = jnp.ones((cap,), bool)
         out = dict(accept=accept)
-        if self.output_levels:
+        if self.output_levels and self.is_tree:
+            # tree ROC (tempcv.cpp:834-861 + 1084-1088): only accepted
+            # windows are reported (a tree reject returns 0, and
+            # n_stages + 0 < 4 never holds), at level n_stages with the
+            # accepting leaf's stage sum as weight.  The reference's DFS
+            # accepts at the first fully-passing root-to-leaf path in
+            # sibling order — _stage_paths emits paths in that DFS order.
+            first_path = jnp.argmax(per_path, axis=-1)       # [cap]
+            leaf = np.array([p[-1] for p in self.paths], np.int32)
+            widx = jnp.asarray(leaf)[first_path]
+            weight = jnp.take_along_axis(seg.T, widx[:, None], axis=1)[:, 0]
+            out["level"] = jnp.where(accept, self.n_stages, 0) \
+                .astype(jnp.int32)
+            out["weight"] = weight
+        elif self.output_levels:
             # exit stage under sequential semantics: first failing stage
             # (survivors passed the whole front prefix), n_stages on pass
             all_pass = jnp.all(st_pass, axis=1)

@@ -184,8 +184,12 @@ def detect_multi_scale_reference(
     sets between oracle and TPU path).
     """
     assert gray.ndim == 2 and gray.dtype == np.uint8
-    if output_reject_levels and mode != "scale_image":
-        raise ValueError("reject levels only exist in scale_image mode")
+    # output_reject_levels in scale_cascade mode is legal but degenerate:
+    # the ScaleCascade invoker never fills the level vectors (only the
+    # ScaleImage invoker does, tempcv.cpp:1084-1095 vs 1155-1158), so the
+    # final levels-overload grouping sees empty levels, every class keeps
+    # level 0, and min_neighbors > 0 filters everything
+    # (tempcv.cpp:1466-1469 + the AgroupRectangles guard at 176).
     if find_biggest_object:
         # FBO clears SCALE_IMAGE and CANNY (tempcv.cpp:1227,1253)
         mode = "scale_cascade"
