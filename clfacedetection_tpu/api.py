@@ -64,10 +64,13 @@ def _to_gray(image: np.ndarray) -> np.ndarray:
     image = np.asarray(image)
     if image.ndim == 3 and image.shape[-1] == 3:
         return np.asarray(bgr_to_gray(jnp.asarray(image)))
+    if image.ndim == 3 and image.shape[-1] == 4:
+        from .ops.integral import bgra_to_gray
+        return np.asarray(bgra_to_gray(jnp.asarray(image)))
     if image.ndim == 2:
         return image.astype(np.uint8, copy=False)
-    raise ValueError(f"expected (H, W) gray or (H, W, 3) BGR, "
-                     f"got {image.shape}")
+    raise ValueError(f"expected (H, W) gray, (H, W, 3) BGR or (H, W, 4) "
+                     f"BGRA, got {image.shape}")
 
 
 class CascadeClassifier:

@@ -1,9 +1,9 @@
-from .integral import (IntegralImages, bgr_to_gray, integral_images,
-                       invert, tilted_integral)
+from .integral import (IntegralImages, bgr_to_gray, bgra_to_gray,
+                       integral_images, invert, tilted_integral)
 from .resize import resize_bilinear_u8, resize_bilinear_u8_np, resize_coeffs
 
 __all__ = [
-    "IntegralImages", "bgr_to_gray", "integral_images", "invert",
-    "tilted_integral", "resize_bilinear_u8", "resize_bilinear_u8_np",
-    "resize_coeffs",
+    "IntegralImages", "bgr_to_gray", "bgra_to_gray", "integral_images",
+    "invert", "tilted_integral", "resize_bilinear_u8",
+    "resize_bilinear_u8_np", "resize_coeffs",
 ]

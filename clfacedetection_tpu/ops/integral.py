@@ -36,8 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
-    "bgr_to_gray", "IntegralImages", "integral_images", "tilted_integral",
-    "invert",
+    "bgr_to_gray", "bgra_to_gray", "IntegralImages", "integral_images",
+    "tilted_integral", "invert",
 ]
 
 
@@ -79,6 +79,29 @@ def bgr_to_gray(img: jax.Array, mode: str = "cv") -> jax.Array:
         y = jnp.clip(y.astype(jnp.int32), 0, 255)  # C-style trunc + clamp
         return y.astype(jnp.uint8)
     raise ValueError(f"unknown grayscale mode {mode!r}")
+
+
+def bgra_to_gray(img: jax.Array, mode: str = "cv") -> jax.Array:
+    """uint8 BGRA (..., H, W, 4) -> uint8 grayscale; alpha ignored.
+
+    Capability twin of the reference's ``bgraToGrayscale`` (clif.cl:20-33).
+    That kernel is unused (never registered, clif.cpp:94) and broken three
+    ways — its coefficient vector initializer is a C comma expression that
+    evaluates to 0 (clif.cl:2), it applies the RGB-ordered coefficients to
+    BGR-ordered channels, and it indexes a ``uchar4*`` with byte-style
+    offsets — so the *intent* (grayscale of the first three channels) is
+    implemented here with correct semantics instead: identical to
+    :func:`bgr_to_gray` on ``img[..., :3]`` (matching
+    ``cvtColor(BGRA2GRAY)``, which uses the BGR coefficients and ignores
+    alpha).  The reference's per-row-vectorized variant
+    (``bgrToGrayscalePerRow``, clif.cl:35-74) is a manual-SIMD artifact
+    with no TPU analog — the VPU vectorizes the elementwise form.
+    """
+    if img.ndim < 3 or img.shape[-1] != 4:
+        raise ValueError(
+            f"bgra_to_gray expects (..., H, W, 4) BGRA input, got "
+            f"{img.shape}")
+    return bgr_to_gray(img[..., :3], mode=mode)
 
 
 @jax.tree_util.register_dataclass

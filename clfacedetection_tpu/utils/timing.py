@@ -31,17 +31,34 @@ class ElapseTime:
 
 def time_jax(fn: Callable, *args, iters: int = 10,
              warmup: int = 2) -> Tuple[float, object]:
-    """Steady-state milliseconds per call of a jitted function (blocks on
-    async dispatch so device time is measured, not enqueue time)."""
+    """Steady-state milliseconds per call of a jitted function.
+
+    Measures by enqueueing ``iters`` calls and **reading every output back
+    to the host** at the end: on tunneled platforms (axon)
+    ``jax.block_until_ready`` does not reliably synchronize — a call can
+    "block" in microseconds while the device work takes tens of
+    milliseconds — so device-to-host materialization is the only barrier
+    that measures real execution.  The per-iteration readback/sync latency
+    (~24 ms through the tunnel) is amortized by keeping all ``iters``
+    results live and reading them after the clock stops... which would
+    mis-amortize the readback itself; instead every result is read inside
+    the timed window and the first is read before it, so steady-state
+    cost = (readback-synced wall time) / iters.
+    """
     import jax
+    import numpy as np
+
+    def read(o):
+        return jax.tree_util.tree_map(np.asarray, o)
+
     out = None
     for _ in range(max(warmup, 1)):
         out = fn(*args)
-    jax.block_until_ready(out)
+    read(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(*args) for _ in range(iters)]
+    for o in outs:
+        out = read(o)
     return (time.perf_counter() - t0) / iters * 1e3, out
 
 

@@ -75,3 +75,14 @@ def test_bgr_to_gray_clif(rng):
     expected = np.clip(f.astype(np.int32), 0, 255).astype(np.uint8)
     gray = np.asarray(bgr_to_gray(img, mode="clif"))
     np.testing.assert_array_equal(gray, expected)
+
+def test_bgra_to_gray_cv(rng):
+    """BGRA capability twin (clif.cl:20-33 intent; bit-exact vs cv2's
+    BGRA2GRAY, which applies the BGR coefficients and ignores alpha)."""
+    from clfacedetection_tpu.ops import bgra_to_gray
+    img = rng.integers(0, 256, (64, 80, 4), dtype=np.uint8)
+    gray_cv = cv2.cvtColor(img, cv2.COLOR_BGRA2GRAY)
+    gray = np.asarray(bgra_to_gray(img, mode="cv"))
+    np.testing.assert_array_equal(gray, gray_cv)
+    with pytest.raises(ValueError):
+        bgra_to_gray(img[..., :3])
