@@ -237,15 +237,22 @@ class PyramidPlan:
         if not dims:
             return cls(levels=[], canvas_h=1, canvas_w=1)
         # choose the strip width minimizing the (32, 256)-padded grid area
-        # the front kernel will actually sweep
+        # the front kernel will actually sweep.  The kernel's grid covers
+        # the (canvas_h+1, canvas_w+1) visit plane, so candidate widths
+        # are 256k-1 (visit width exactly k tile columns) and the score
+        # uses the +1 sizes — a 1024-wide canvas would sweep FIVE 256
+        # columns, not four.
         w_max = max(w for _, w in dims)
         best = None
-        for cw_cand in {-(-w_max // 128) * 128,
-                        -(-w_max // 128) * 128 + 128,
-                        -(-(w_max * 3 // 2) // 128) * 128,
-                        -(-2 * w_max // 128) * 128}:
+        cands = {-(-(base + 1) // 256) * 256 - 1
+                 for base in (w_max, w_max * 3 // 2, 2 * w_max)}
+        cands.add(-(-(w_max + 1) // 256) * 256 + 255)
+        for cw_cand in cands:
+            if cw_cand < w_max:
+                continue
             offs, hh = _pack_levels(dims, cw_cand)
-            grid_area = (-(-hh // 32) * 32) * (-(-cw_cand // 256) * 256)
+            grid_area = (-(-(hh + 1) // 32) * 32) * \
+                (-(-(cw_cand + 1) // 256) * 256)
             if best is None or grid_area < best[0]:
                 best = (grid_area, cw_cand, offs, hh)
         _, cw, offsets, used_h = best
@@ -390,6 +397,30 @@ class PyramidDetector:
             use_pallas_front = (jax.default_backend() == "tpu"
                                 and dtype == jnp.float32)
         self.use_pallas_front = bool(use_pallas_front)
+        # Pallas survivor tail: VMEM band extraction + MXU stencil matmul
+        # (ops/haar_tail.py) — the XLA gather path is element-rate bound
+        # (~1.7 us/window).  f32-only; tilted needs a second plane/stencil
+        # (not wired yet); CPU/f64 keep the XLA specification path.
+        self.use_pallas_tail = (jax.default_backend() == "tpu"
+                                and dtype == jnp.float32
+                                and not c.has_tilted
+                                and w0 + 1 <= 32)
+        self.tail_chunkk = 64
+        if self.use_pallas_tail:
+            # VMEM budget: resident stencil + band window + chunk buffers
+            # must fit ~16MB/core; oversized cascades (frontalface_default:
+            # 2913 nodes x 32 patch rows ~ 12MB stencil) keep the XLA tail
+            # until NN-blocking is added
+            from ..ops.haar_tail import patch_rows, plan_bands
+            rows = patch_rows(h0 + 1)
+            nn = -(-(self.tables.n_clf * self.tables.T) // 128) * 128
+            _, r = plan_bands(self.plan.canvas_h + 1)
+            band_w = ((self.plan.canvas_w) // 128) * 128 + 256
+            est = (32 * rows * nn + (r + rows + 8) * band_w
+                   + self.tail_chunkk * (32 * rows + nn)) * 4
+            if est > 12_500_000:
+                self.use_pallas_tail = False
+        self._tail_kernels = {}
         self._visit_np = vm
         self._front_kernels = {}
         if self.use_pallas_front:
@@ -405,6 +436,15 @@ class PyramidDetector:
                 c.has_tilted, bh=bh, bw=bw)
         else:
             self._pad_y = self._pad_x = self._pad
+        if self.use_pallas_tail:
+            # the tail kernel DMAs (band_rows + 24)-row windows up to
+            # n_bands * band_rows; make sure the plane pad covers the
+            # last band's overhang
+            from ..ops.haar_tail import plan_bands
+            nb, r = plan_bands(self.plan.canvas_h + 1)
+            need = nb * r + 48 - (self.plan.canvas_h + 1)
+            self._pad_y = max(self._pad_y, need)
+            self._pad_x = max(self._pad_x, 384)
         self._jit_front = jax.jit(self._front_device)
         self._jit_compact = jax.jit(self._compact_device)
         self._jit_tail = jax.jit(self._tail_device)
@@ -635,6 +675,101 @@ class PyramidDetector:
             planes["tilted"] = jnp.pad(ii.tilted, padw)
         return planes, jnp.pad(ii.sq_hi, padw), jnp.pad(ii.sq_lo, padw)
 
+    def _tail_kernel_for(self, batch=None):
+        key = (self.cap, batch)
+        k = self._tail_kernels.get(key)
+        if k is None:
+            from ..ops.haar_tail import build_tail_kernel, remap_stencil_rows
+            t = self.tables
+            n = t.n_clf * t.T
+            nn = -(-n // 128) * 128
+            sten = np.zeros((self._sten_sum.shape[0], nn), np.float32)
+            sten[:, :n] = self._sten_sum
+            rows = remap_stencil_rows(sten, self.h0 + 1, self.w0 + 1)
+            plane_shape = (self.plan.canvas_h + 1 + self._pad_y,
+                           self.plan.canvas_w + 1 + self._pad_x)
+            k = build_tail_kernel(rows, plane_shape,
+                                  self.plan.canvas_h + 1,
+                                  self.plan.canvas_w + 1,
+                                  self.cap, p_h=self.h0 + 1,
+                                  chunk=self.tail_chunkk,
+                                  batch=batch)
+            self._tail_kernels[key] = k
+        return k
+
+    def _tail_kernel_accept(self, planes, vnf, surv_idx, batch=None):
+        """Kernel-path tail: band-slot layout + Pallas node values, then
+        XLA votes / stage sums (all dense, cheap).  Returns the same
+        fields as the XLA tail but over ``capP`` band-aligned slots.
+        With ``batch`` set, all inputs/outputs carry a leading frame dim
+        (the kernel grid is batch-extended; vmap can't cross a
+        pallas_call with ANY-space operands)."""
+        from ..ops.haar_tail import band_slots, plan_bands
+        t = self.tables
+        shape = (self.plan.canvas_h + 1, self.plan.canvas_w + 1)
+        n_flat = shape[0] * shape[1]
+        nb, r = plan_bands(shape[0])
+
+        def slots(s):
+            return band_slots(s, shape[1], n_flat, nb, r,
+                              self.tail_chunkk, self.cap)
+
+        if batch is None:
+            slot_y, slot_x, slot_valid, slot_idx, alo, cnt = slots(surv_idx)
+            svnf = vnf.reshape(-1)[jnp.where(slot_valid, slot_idx, 0)]
+        else:
+            slot_y, slot_x, slot_valid, slot_idx, alo, cnt = \
+                jax.vmap(slots)(surv_idx)
+            svnf = jnp.take_along_axis(
+                vnf.reshape(batch, -1),
+                jnp.where(slot_valid, slot_idx, 0), axis=1)
+        kernel = self._tail_kernel_for(batch)
+        vals = kernel(planes["sum"], slot_y, slot_x, alo, cnt)
+        lead = slot_y.shape            # (capP,) or (B, capP)
+        nv = vals[..., :t.n_clf * t.T].reshape(-1, t.n_clf, t.T)
+        val = _cart_votes(nv, svnf.reshape(-1), self._consts, t.T,
+                          jnp.float32)
+        spec = self.compiled.spec
+        seg = jnp.stack(
+            [jnp.sum(val[:, int(spec.stage_clf_ofs[s]):
+                         int(spec.stage_clf_ofs[s])
+                         + int(spec.stage_clf_cnt[s])], axis=1)
+             for s in range(self.n_stages)], axis=0)
+        st_pass = (seg >= self._consts["stage_threshold"][:, None]
+                   .astype(jnp.float32)).T
+        if self.is_tree:
+            pm = self._path_mask
+            per_path = jnp.all(st_pass[:, None, :] | ~pm[None], axis=-1)
+            accept = jnp.any(per_path, axis=-1)
+        elif self.front_k < self.n_stages:
+            accept = jnp.all(st_pass[:, self.front_k:], axis=-1)
+        else:
+            accept = jnp.ones(st_pass.shape[:1], bool)
+        out = dict(sy=slot_y, sx=slot_x,
+                   ok=accept.reshape(lead) & slot_valid)
+        if self.output_levels:
+            if self.is_tree:
+                first_path = jnp.argmax(per_path, axis=-1)
+                leaf = np.array([p[-1] for p in self.paths], np.int32)
+                widx = jnp.asarray(leaf)[first_path]
+                weight = jnp.take_along_axis(seg.T, widx[:, None],
+                                             axis=1)[:, 0]
+                level = jnp.where(accept, self.n_stages, 0) \
+                    .astype(jnp.int32)
+            else:
+                all_pass = jnp.all(st_pass, axis=1)
+                first_fail = jnp.argmax(~st_pass, axis=1)
+                level = jnp.where(all_pass, self.n_stages, first_fail)
+                widx = jnp.minimum(level, self.n_stages - 1)
+                weight = jnp.take_along_axis(seg.T, widx[:, None],
+                                             axis=1)[:, 0]
+                level = level.astype(jnp.int32)
+            out["ok_roc"] = ((accept | (self.n_stages - level < 4))
+                             .reshape(lead) & slot_valid)
+            out["level"] = level.reshape(lead)
+            out["weight"] = weight.reshape(lead)
+        return out
+
     def _front_kernel_for_batch(self, batch):
         k = self._front_kernels.get(batch)
         if k is None:
@@ -708,6 +843,10 @@ class PyramidDetector:
         The three-phase split (front kernel -> compaction -> tail) puts
         every hot operand on a parameter boundary; everything stays
         on-device, the cost is two extra dispatches."""
+        if self.use_pallas_tail:
+            out = self._tail_kernel_accept(planes, vnf, surv_idx)
+            out["n_surv"] = n_surv
+            return out
         shape = (self.plan.canvas_h + 1, self.plan.canvas_w + 1)
         n_flat = shape[0] * shape[1]
         valid = surv_idx < n_flat
@@ -727,6 +866,16 @@ class PyramidDetector:
             out["level"] = tail["level"]
             out["weight"] = tail["weight"]
         return out
+
+    def _tail_device_batch(self, planes, vnf, surv_idx, n_surv):
+        """Batched tail: batch-gridded kernel on the Pallas path, vmap of
+        the XLA path otherwise."""
+        if self.use_pallas_tail:
+            out = self._tail_kernel_accept(planes, vnf, surv_idx,
+                                           batch=surv_idx.shape[0])
+            out["n_surv"] = n_surv
+            return out
+        return jax.vmap(self._tail_device)(planes, vnf, surv_idx, n_surv)
 
     def _detect_device(self, gray):
         """Single-program variant (compile-check / CPU convenience; on TPU

@@ -1,0 +1,218 @@
+"""Pallas TPU kernel: per-survivor Haar patch extraction + stencil matmul.
+
+The tail phase evaluates every cascade node on each compacted front
+survivor.  The XLA formulation (vmap-of-dynamic_slice gather, see
+detect/pyramid.py:_tail_accept_chunk) is element-rate bound on TPU
+(~0.27 G elem/s -> ~1.7 us per 21x21 window; 27 ms at cap 16k), because
+XLA lowers the patch gather to per-element accesses.  This kernel does
+the same job in ~3.5 ms by keeping the canvas rows in VMEM and letting
+the MXU do the arithmetic:
+
+* Survivors arrive raster-ordered from compaction, so a partition of the
+  canvas into row *bands* makes each band's survivors one contiguous
+  slot range.  The compact phase lays survivors out in **band-aligned
+  slots** (each band's range starts at a chunk-aligned slot) and passes
+  the per-band start/count as scalar-prefetch arrays.
+* Grid = (band, chunk).  The first active chunk of a band DMAs the
+  band's (R+24)-row window of the integral plane HBM->VMEM; chunks then
+  extract their <=C survivors' (21, 21) patches with aligned vector
+  loads + dynamic rolls (pltpu.roll handles the sub-tile offsets; Mosaic
+  rejects unaligned dynamic loads/stores, so the chunk loop is unrolled
+  with static store indices).
+* Patches are stored window-row-per-32-lane (K index = 32*dy + dx) and
+  hit the MXU as one [C, 768] x [768, n_nodes] f32 matmul against the
+  resident stencil (the same signed corner-weight matrix as the XLA
+  path, rows remapped); node values stream back to HBM per chunk.
+
+Replaces the reference's per-window per-stage scalar loops
+(clod.cl:52-80) at ~0.2 us/window all-nodes; votes / stage sums / CART
+walks stay in XLA on the kernel's output (cheap dense ops).
+
+Bit-exactness: integer patch corrections are exact; the matmul is f32
+with MXU accumulation order, matching the XLA tail to ~1e-3 relative
+(accumulation-order noise only — same equivalence class as the XLA f32
+fast path vs the float64 oracle).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["build_tail_kernel", "remap_stencil_rows", "plan_bands",
+           "band_slots", "patch_rows"]
+
+def patch_rows(p_h: int) -> int:
+    """Patch rows padded to the sublane tile (24 for 20x20 windows,
+    32 for 24x24)."""
+    return -(-p_h // 8) * 8
+
+
+def remap_stencil_rows(sten: np.ndarray, p_h: int, p_w: int) -> np.ndarray:
+    """[(p_h*p_w), N] stencil -> [32*patch_rows, N], row dy at 32*dy+dx."""
+    rows = patch_rows(p_h)
+    assert p_h <= rows and p_w <= 32
+    n = sten.shape[1]
+    out = np.zeros((32 * rows, n), np.float32)
+    for dy in range(p_h):
+        out[32 * dy:32 * dy + p_w] = sten[dy * p_w:(dy + 1) * p_w]
+    return out
+
+
+def plan_bands(hv: int, r_max: int = 576) -> Tuple[int, int]:
+    """(n_bands, band_rows): minimal 8-aligned band height <= r_max."""
+    nb = max(1, -(-hv // r_max))
+    r = -(-hv // (nb * 8)) * 8
+    return nb, r
+
+
+def band_slots(surv_idx, w_log: int, n_flat: int, n_bands: int, r: int,
+               chunk: int, cap: int):
+    """Band-aligned slot layout for raster-ordered survivor indices.
+
+    Returns (slot_y, slot_x, slot_valid, alo, cnt, overflow_free_slots):
+    per-slot canvas coords + validity over ``capP = cap + n_bands*chunk``
+    slots, plus the per-band aligned starts / counts the kernel prefetches.
+    All jnp ops (runs inside the compact jit phase).
+    """
+    capp = cap + n_bands * chunk
+    valid = surv_idx < n_flat
+    sy = jnp.where(valid, surv_idx // w_log, n_bands * r)
+    sx = jnp.where(valid, surv_idx % w_log, 0)
+    bounds = jnp.searchsorted(sy, jnp.arange(n_bands + 1) * r)
+    cnt = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
+    aligned = -(-cnt // chunk) * chunk
+    alo = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                           jnp.cumsum(aligned)[:-1].astype(jnp.int32)])
+    band = jnp.clip(sy // r, 0, n_bands - 1)
+    slot = jnp.where(valid, alo[band] + jnp.arange(cap) - bounds[band],
+                     capp)
+    z = jnp.zeros((capp + 1,), jnp.int32)
+    slot_y = z.at[slot].set(sy.astype(jnp.int32), mode="drop")[:capp]
+    slot_x = z.at[slot].set(sx.astype(jnp.int32), mode="drop")[:capp]
+    slot_valid = jnp.zeros((capp + 1,), bool).at[slot].set(
+        valid, mode="drop")[:capp]
+    slot_idx = jnp.full((capp + 1,), n_flat, jnp.int32).at[slot].set(
+        surv_idx.astype(jnp.int32), mode="drop")[:capp]
+    return slot_y, slot_x, slot_valid, slot_idx, alo, cnt
+
+
+def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
+                      hv: int, wv: int, cap: int,
+                      p_h: int = 21,
+                      chunk: int = 64,
+                      r_max: int = 576,
+                      batch: Optional[int] = None):
+    """Returns fn(plane, slot_y, slot_x, alo, cnt) -> vals [capP, NN].
+
+    ``sten_rows`` is the remapped [768, NN] stencil (NN a multiple of
+    128 recommended); ``plane_shape`` the padded integral plane (must be
+    at least ``band_w`` wide and ``n_bands*r + 24`` tall); survivors
+    come slot-laid-out per :func:`band_slots`.  ``batch`` prepends a
+    frame dimension to plane/slots/vals (one more grid axis).
+    """
+    hp, wp = plane_shape
+    rows = patch_rows(p_h)
+    load_rows = rows + 8           # covers the y%8 sublane misalignment
+    nb, r = plan_bands(hv, r_max)
+    assert hp >= nb * r + load_rows, (hp, nb, r)
+    assert sten_rows.shape[0] == 32 * rows
+    band_w = ((wv - 1) // 128) * 128 + 256
+    assert wp >= band_w, (wp, band_w)
+    nn = sten_rows.shape[1]
+    nch = -(-cap // chunk)
+    capp = cap + nb * chunk
+    capp_pad = -(-capp // 8) * 8
+
+    def kernel(sy_ref, sx_ref, lo_ref, cnt_ref, plane_hbm, sten, out_hbm,
+               band, patches, vals, sems):
+        if batch is None:
+            b = pl.program_id(0)
+            j = pl.program_id(1)
+            fr = None
+        else:
+            fr = pl.program_id(0)
+            b = pl.program_id(1)
+            j = pl.program_id(2)
+        lo = lo_ref[fr, b] if batch is not None else lo_ref[b]
+        hi = lo + (cnt_ref[fr, b] if batch is not None else cnt_ref[b])
+        # lo is chunk-aligned by construction; the //8*8 idiom makes the
+        # alignment provable for Mosaic's DMA index checks
+        start = ((lo + j * chunk) // 8) * 8
+
+        @pl.when((j == 0) & (start < hi))
+        def _dma_band():
+            src = (plane_hbm.at[pl.ds(b * r, r + load_rows),
+                                pl.ds(0, band_w)]
+                   if batch is None else
+                   plane_hbm.at[fr, pl.ds(b * r, r + load_rows),
+                                pl.ds(0, band_w)])
+            dma = pltpu.make_async_copy(src, band, sems.at[0])
+            dma.start()
+            dma.wait()
+
+        @pl.when(start < hi)
+        def _chunk():
+            for i in range(chunk):
+                g = start + i
+                ok = g < hi
+                yg = sy_ref[fr, g] if batch is not None else sy_ref[g]
+                xg = sx_ref[fr, g] if batch is not None else sx_ref[g]
+                y = jnp.where(ok, yg - b * r, 0)
+                x = jnp.where(ok, xg, 0)
+                ya = (y // 8) * 8
+                xa = (x // 128) * 128
+                raw = band[pl.ds(ya, load_rows), pl.ds(xa, 256)]
+                raw = pltpu.roll(raw, -(y - ya), axis=0)
+                raw = raw[:rows, :]
+                raw = pltpu.roll(raw, -(x - xa), axis=1)
+                blk = raw[:, :32]
+                # window-local correction (exact in int32; rows >= 21 and
+                # lanes >= 21 are garbage zeroed by the stencil rows)
+                corr = (blk - blk[0:1, :] - blk[:, 0:1] + blk[0, 0]
+                        ).astype(jnp.float32)
+                for dy in range(rows):
+                    patches[i, 32 * dy:32 * dy + 32] = corr[dy, :]
+            # precision=HIGHEST: the MXU default demotes f32 operands to
+            # bf16, whose 8-bit mantissa wrecks integral-patch values
+            # (same cliff as the XLA tail, pyramid.py:_tail_accept_chunk)
+            vals[...] = jnp.dot(patches[...], sten[...],
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+            dst = (out_hbm.at[pl.ds(start, chunk)] if batch is None
+                   else out_hbm.at[fr, pl.ds(start, chunk)])
+            dma = pltpu.make_async_copy(vals, dst, sems.at[1])
+            dma.start()
+            dma.wait()
+
+    grid = (nb, nch) if batch is None else (batch, nb, nch)
+    sten_spec = pl.BlockSpec((32 * rows, nn), lambda *idx: (0, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), sten_spec],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((r + load_rows, band_w), jnp.int32),
+            pltpu.VMEM((chunk, 32 * rows), jnp.float32),
+            pltpu.VMEM((chunk, nn), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    oshape = ((capp_pad, nn) if batch is None else (batch, capp_pad, nn))
+    call = pl.pallas_call(kernel, grid_spec=grid_spec,
+                          out_shape=jax.ShapeDtypeStruct(oshape,
+                                                         jnp.float32))
+    sten_dev = np.ascontiguousarray(sten_rows, np.float32)
+
+    def run(plane, slot_y, slot_x, alo, cnt):
+        return call(slot_y, slot_x, alo, cnt, plane, sten_dev)[..., :capp, :]
+
+    run.n_bands, run.band_rows, run.capp = nb, r, capp
+    return run

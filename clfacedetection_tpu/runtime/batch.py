@@ -53,7 +53,7 @@ class BatchedPyramidDetector:
         # parameter boundary to hit the fast TPU gather emitter
         front = self.det._front_device_batch
         compact = jax.vmap(self.det._compact_device)
-        tail = jax.vmap(self.det._tail_device)
+        tail = self.det._tail_device_batch
         if mesh is not None:
             if batch % mesh.size != 0:
                 raise ValueError(f"batch {batch} not divisible by mesh "

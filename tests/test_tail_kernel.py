@@ -1,0 +1,77 @@
+"""Pallas survivor-tail kernel == XLA tail, box for box (TPU only).
+
+The CPU suite can't run Mosaic kernels; this is exercised on real TPU
+hardware (verified at 1080p: 102/102 candidate boxes identical to the
+XLA tail, node values within f32 accumulation-order noise ~6e-5 abs;
+see ops/haar_tail.py and docs/PERF.md)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(jax.default_backend() != "tpu",
+                                reason="Pallas TPU kernel")
+
+
+def _boxes(det, img):
+    b, _ = det.candidates(img)
+    return set(map(tuple, b.tolist()))
+
+
+def test_tail_kernel_matches_xla_tail():
+    from clfacedetection_tpu.detect import PyramidDetector
+    from clfacedetection_tpu.models import load_cascade
+    from clfacedetection_tpu.utils import photo_scene
+
+    img = photo_scene((480, 640), face_sizes=(60, 100))
+    spec = load_cascade("haarcascade_frontalface_alt")
+    dk = PyramidDetector(spec, img.shape, min_size=(40, 40))
+    assert dk.use_pallas_tail
+    dx = PyramidDetector(spec, img.shape, min_size=(40, 40))
+    dx.use_pallas_tail = False
+    assert _boxes(dk, img) == _boxes(dx, img)
+
+
+def test_tail_kernel_node_values():
+    """Kernel node values vs the XLA extraction+matmul on real planes."""
+    from clfacedetection_tpu.detect.pyramid import PyramidDetector
+    from clfacedetection_tpu.models import load_cascade
+    from clfacedetection_tpu.ops.haar_tail import band_slots, plan_bands
+    from clfacedetection_tpu.utils import photo_scene
+
+    spec = load_cascade("haarcascade_frontalface_alt")
+    img = photo_scene((480, 640), face_sizes=(60, 100))
+    det = PyramidDetector(spec, img.shape, min_size=(40, 40))
+    assert det.use_pallas_tail
+    g = jnp.asarray(img, jnp.uint8)
+    f = det._jit_front(g)
+    si, _ = det._jit_compact(f["front"])
+    shape = (det.plan.canvas_h + 1, det.plan.canvas_w + 1)
+    nb, r = plan_bands(shape[0])
+    sl = jax.jit(lambda s: band_slots(s, shape[1], shape[0] * shape[1],
+                                      nb, r, det.tail_chunkk, det.cap))(si)
+    slot_y, slot_x, slot_valid, _, alo, cnt = [np.asarray(a) for a in sl]
+    kernel = det._tail_kernel_for(None)
+    vals = np.asarray(jax.jit(kernel)(
+        f["planes"]["sum"], *map(jnp.asarray, (slot_y, slot_x, alo, cnt))))
+
+    P = det.h0 + 1
+
+    def xla_vals(plane, sy, sx):
+        raw = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
+            plane, (y, x), (P, P)))(sy, sx)
+        corner = raw[:, 0, 0][:, None, None]
+        rr = raw - corner
+        rr = rr - rr[:, 0:1, :] - rr[:, :, 0:1]
+        return jnp.dot(rr.reshape(-1, P * P).astype(jnp.float32),
+                       jnp.asarray(det._sten_sum),
+                       precision=jax.lax.Precision.HIGHEST)
+
+    ref = np.asarray(jax.jit(xla_vals)(f["planes"]["sum"],
+                                       jnp.asarray(slot_y),
+                                       jnp.asarray(slot_x)))
+    n = det.tables.n_clf * det.tables.T
+    m = slot_valid
+    assert m.sum() > 100
+    np.testing.assert_allclose(vals[m][:, :n], ref[m], atol=2e-3)
