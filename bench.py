@@ -35,12 +35,13 @@ def main() -> None:
         pass
     from clfacedetection_tpu.models import load_cascade
     from clfacedetection_tpu.runtime import BatchedPyramidDetector
-    from clfacedetection_tpu.utils import synth_scene
+    from clfacedetection_tpu.utils import photo_scene
 
     spec = load_cascade("haarcascade_frontalface_alt")
-    frame = synth_scene(
-        (1080, 1920),
-        faces=[(300, 400, 80.0), (700, 1300, 120.0), (500, 900, 60.0)])
+    # real photograph backdrop + pasted faces (utils/testimage.py): real
+    # image statistics, unlike the procedural scenes whose texture is
+    # unrealistically cascade-friendly (docs/PERF.md round-1 note)
+    frame = photo_scene((1080, 1920))
 
     best_fps = 0.0
     best_cfg = None
@@ -50,15 +51,18 @@ def main() -> None:
         det = BatchedPyramidDetector(
             spec, frame.shape, batch, min_size=(40, 40),
             front_stages=int(os.environ.get("CLFD_BENCH_FRONT", "12")),
-            cap=int(os.environ.get("CLFD_BENCH_CAP", "4096")))
+            cap=int(os.environ.get("CLFD_BENCH_CAP", "16384")))
         # warm-up: full path incl. potential cap regrowth
         res = det.detect(frames, min_neighbors=3)
         n_boxes = len(res[0].boxes)
-        # timed loop (host->device, device program, readback, grouping)
+        # timed loop (host->device, device program, readback, grouping),
+        # pipelined with 2 batches in flight so tunnel sync latency and
+        # host grouping overlap device compute
         reps = max(1, int(os.environ.get("CLFD_BENCH_REPS", "10")))
         t0 = time.perf_counter()
-        for _ in range(reps):
-            res = det.detect(frames, min_neighbors=3)
+        for res in det.detect_stream((frames for _ in range(reps)),
+                                     min_neighbors=3):
+            pass
         dt = (time.perf_counter() - t0) / (reps * batch)
         fps = 1.0 / dt
         print(f"# batch={batch}: {dt*1e3:.2f} ms/frame = {fps:.1f} fps "

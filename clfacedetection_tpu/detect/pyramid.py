@@ -448,6 +448,7 @@ class PyramidDetector:
         self._jit_front = jax.jit(self._front_device)
         self._jit_compact = jax.jit(self._compact_device)
         self._jit_tail = jax.jit(self._tail_device)
+        self._jit_pipeline = jax.jit(self._detect_device)
 
     # ------------------------------------------------------------------
     def _build_stencils(self) -> None:
@@ -724,7 +725,8 @@ class PyramidDetector:
                 vnf.reshape(batch, -1),
                 jnp.where(slot_valid, slot_idx, 0), axis=1)
         kernel = self._tail_kernel_for(batch)
-        vals = kernel(planes["sum"], slot_y, slot_x, alo, cnt)
+        slot_yx = slot_y * 65536 + slot_x
+        vals = kernel(planes["sum"], slot_yx, alo, cnt)
         lead = slot_y.shape            # (capP,) or (B, capP)
         nv = vals[..., :t.n_clf * t.T].reshape(-1, t.n_clf, t.T)
         val = _cart_votes(nv, svnf.reshape(-1), self._consts, t.T,
@@ -747,6 +749,22 @@ class PyramidDetector:
             accept = jnp.ones(st_pass.shape[:1], bool)
         out = dict(sy=slot_y, sx=slot_x,
                    ok=accept.reshape(lead) & slot_valid)
+        # device-side compaction of the accepted set: the host needs only
+        # the accepted (y, x) pairs, and tunnel readback is slow
+        # (~23 MB/s measured) — reading the full [capP] survivor arrays
+        # costs more than the whole device pipeline
+        acap = min(lead[-1], 4096)
+
+        def compact_out(ok_f, y_f, x_f):
+            aidx, n_acc = _compact(ok_f, acap)
+            sel = jnp.where(aidx < lead[-1], aidx, 0)
+            return y_f[sel], x_f[sel], n_acc
+
+        if batch is None:
+            ay, ax, n_acc = compact_out(out["ok"], slot_y, slot_x)
+        else:
+            ay, ax, n_acc = jax.vmap(compact_out)(out["ok"], slot_y, slot_x)
+        out["acc_y"], out["acc_x"], out["n_acc"] = ay, ax, n_acc
         if self.output_levels:
             if self.is_tree:
                 first_path = jnp.argmax(per_path, axis=-1)
@@ -846,6 +864,14 @@ class PyramidDetector:
         if self.use_pallas_tail:
             out = self._tail_kernel_accept(planes, vnf, surv_idx)
             out["n_surv"] = n_surv
+            # ONE host-readable array: each np.asarray readback pays a
+            # ~24ms sync through the tunnel, so everything candidates()
+            # needs ships together
+            out["packed"] = jnp.concatenate([
+                jnp.asarray(n_surv, jnp.int32).reshape(1),
+                out["n_acc"].astype(jnp.int32).reshape(1),
+                out["acc_y"].astype(jnp.int32),
+                out["acc_x"].astype(jnp.int32)])
             return out
         shape = (self.plan.canvas_h + 1, self.plan.canvas_w + 1)
         n_flat = shape[0] * shape[1]
@@ -874,6 +900,11 @@ class PyramidDetector:
             out = self._tail_kernel_accept(planes, vnf, surv_idx,
                                            batch=surv_idx.shape[0])
             out["n_surv"] = n_surv
+            out["packed"] = jnp.concatenate([
+                jnp.asarray(n_surv, jnp.int32).reshape(-1, 1),
+                out["n_acc"].astype(jnp.int32).reshape(-1, 1),
+                out["acc_y"].astype(jnp.int32),
+                out["acc_x"].astype(jnp.int32)], axis=1)
             return out
         return jax.vmap(self._tail_device)(planes, vnf, surv_idx, n_surv)
 
@@ -885,27 +916,50 @@ class PyramidDetector:
         return self._tail_device(f["planes"], f["vnf"], surv_idx, n_surv)
 
     def _run_two_phase(self, gray):
-        f = self._jit_front(jnp.asarray(gray, jnp.uint8))
-        surv_idx, n_surv = self._jit_compact(f["front"])
-        return self._jit_tail(f["planes"], f["vnf"], surv_idx, n_surv)
+        """One device dispatch for the whole pipeline.  (Historical name:
+        round 1 phased this into three jits chasing a gather-emitter
+        theory that turned out to be a sync-dispatch artifact; the fused
+        program measures identical on-device and saves two dispatches.)"""
+        return self._jit_pipeline(jnp.asarray(gray, jnp.uint8))
 
     # ------------------------------------------------------------------
     def candidates(self, gray) -> Tuple[np.ndarray, bool]:
         """Raw candidates (x, y, w, h) in original-image coordinates."""
         if self.n_levels == 0:
             return np.zeros((0, 4), np.int32), False
-        out = jax.tree_util.tree_map(np.asarray, self._run_two_phase(gray))
-        while bool(out["n_surv"] > self.cap) and self.cap < self.n_visit:
+        dev = self._run_two_phase(gray)
+        packed = (np.asarray(dev["packed"]) if "packed" in dev else None)
+        n_surv0 = packed[0] if packed is not None \
+            else np.asarray(dev["n_surv"])
+        while bool(n_surv0 > self.cap) and self.cap < self.n_visit:
             self.cap = min(self.cap * 4, self.n_visit)
             self._jit_compact = jax.jit(self._compact_device)
             self._jit_tail = jax.jit(self._tail_device)
-            out = jax.tree_util.tree_map(np.asarray,
-                                         self._run_two_phase(gray))
-        ok = out["ok"]
+            self._jit_pipeline = jax.jit(self._detect_device)
+            dev = self._run_two_phase(gray)
+            packed = (np.asarray(dev["packed"]) if "packed" in dev
+                      else None)
+            n_surv0 = packed[0] if packed is not None \
+                else np.asarray(dev["n_surv"])
+        overflow = bool(n_surv0 > self.cap)
+        if packed is not None:
+            # kernel path: ONE readback of the device-compacted accepted
+            # set (each transfer pays ~24ms tunnel sync; the full
+            # survivor arrays would cost more than the device pipeline)
+            acap = (len(packed) - 2) // 2
+            n_acc = int(packed[1])
+            if n_acc <= acap:
+                if n_acc == 0:
+                    return np.zeros((0, 4), np.int32), overflow
+                ay = packed[2:2 + n_acc]
+                ax = packed[2 + acap:2 + acap + n_acc]
+                return self.plan.boxes_for(ay, ax), overflow
+        ok = np.asarray(dev["ok"])
         if not ok.any():
-            return np.zeros((0, 4), np.int32), bool(out["n_surv"] > self.cap)
-        boxes = self.plan.boxes_for(out["sy"][ok], out["sx"][ok])
-        return boxes, bool(out["n_surv"] > self.cap)
+            return np.zeros((0, 4), np.int32), overflow
+        boxes = self.plan.boxes_for(np.asarray(dev["sy"])[ok],
+                                    np.asarray(dev["sx"])[ok])
+        return boxes, overflow
 
     def candidates_with_levels(self, gray):
         """(boxes, reject_levels, level_weights, overflow) — ROC output;
@@ -919,6 +973,7 @@ class PyramidDetector:
             self.cap = min(self.cap * 4, self.n_visit)
             self._jit_compact = jax.jit(self._compact_device)
             self._jit_tail = jax.jit(self._tail_device)
+            self._jit_pipeline = jax.jit(self._detect_device)
             out = jax.tree_util.tree_map(np.asarray,
                                          self._run_two_phase(gray))
         ok = out["ok_roc"]

@@ -108,7 +108,7 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
                       chunk: int = 64,
                       r_max: int = 576,
                       batch: Optional[int] = None):
-    """Returns fn(plane, slot_y, slot_x, alo, cnt) -> vals [capP, NN].
+    """Returns fn(plane, slot_yx, alo, cnt) -> vals [capP, NN].
 
     ``sten_rows`` is the remapped [768, NN] stencil (NN a multiple of
     128 recommended); ``plane_shape`` the padded integral plane (must be
@@ -129,7 +129,7 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
     capp = cap + nb * chunk
     capp_pad = -(-capp // 8) * 8
 
-    def kernel(sy_ref, sx_ref, lo_ref, cnt_ref, plane_hbm, sten, out_hbm,
+    def kernel(syx_ref, lo_ref, cnt_ref, plane_hbm, sten, out_hbm,
                band, patches, vals, sems):
         if batch is None:
             b = pl.program_id(0)
@@ -161,10 +161,13 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
             for i in range(chunk):
                 g = start + i
                 ok = g < hi
-                yg = sy_ref[fr, g] if batch is not None else sy_ref[g]
-                xg = sx_ref[fr, g] if batch is not None else sx_ref[g]
+                # (y, x) packed into one int32 (y*65536 + x): the
+                # scalar-prefetch operands live in 1MB SMEM, and two
+                # [batch, capP] arrays overflow it at batch 8
+                v = syx_ref[fr, g] if batch is not None else syx_ref[g]
+                yg = v // 65536
                 y = jnp.where(ok, yg - b * r, 0)
-                x = jnp.where(ok, xg, 0)
+                x = jnp.where(ok, v - yg * 65536, 0)
                 ya = (y // 8) * 8
                 xa = (x // 128) * 128
                 raw = band[pl.ds(ya, load_rows), pl.ds(xa, 256)]
@@ -194,7 +197,7 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
     sten_spec = pl.BlockSpec((32 * rows, nn), lambda *idx: (0, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), sten_spec],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -211,8 +214,8 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
                                                          jnp.float32))
     sten_dev = np.ascontiguousarray(sten_rows, np.float32)
 
-    def run(plane, slot_y, slot_x, alo, cnt):
-        return call(slot_y, slot_x, alo, cnt, plane, sten_dev)[..., :capp, :]
+    def run(plane, slot_yx, alo, cnt):
+        return call(slot_yx, alo, cnt, plane, sten_dev)[..., :capp, :]
 
     run.n_bands, run.band_rows, run.capp = nb, r, capp
     return run

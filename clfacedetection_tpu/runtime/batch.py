@@ -41,31 +41,44 @@ class BatchedPyramidDetector:
                  **knobs):
         self.batch = int(batch)
         self.mesh = mesh
-        if mesh is not None:
-            # the Pallas front kernel is not SPMD-partitionable via jit
-            # shardings; the sharded path uses the (vmap-safe) XLA front
-            knobs.setdefault("use_pallas_front", False)
+        self.axis_name = axis_name
         self.det = PyramidDetector(spec, image_shape, **knobs)
         if self.det.n_levels == 0:
             return
-        # phased like the single-frame path (see PyramidDetector.
-        # _tail_device): the tail's gathers need their operands on a jit
-        # parameter boundary to hit the fast TPU gather emitter
-        front = self.det._front_device_batch
-        compact = jax.vmap(self.det._compact_device)
-        tail = self.det._tail_device_batch
-        if mesh is not None:
-            if batch % mesh.size != 0:
-                raise ValueError(f"batch {batch} not divisible by mesh "
-                                 f"size {mesh.size}")
-            shard = NamedSharding(mesh, P(axis_name))
-            self._in_sharding = shard
-            self._jit_front = jax.jit(front, in_shardings=shard)
+        if mesh is not None and batch % mesh.size != 0:
+            raise ValueError(f"batch {batch} not divisible by mesh "
+                             f"size {mesh.size}")
+        self._in_sharding = (NamedSharding(mesh, P(axis_name))
+                            if mesh is not None else None)
+        self._build_step()
+
+    def _build_step(self):
+        """One jitted [B,H,W] -> survivors program.  With a mesh, the
+        whole per-frame pipeline runs under ``shard_map`` so the Pallas
+        front/tail kernels execute per shard on the local batch (jit
+        SPMD shardings cannot partition a pallas_call; shard_map gives
+        every chip its own grid).  No collectives are needed — frames
+        shard the batch axis and the fixed-size survivor buffers come
+        back batch-sharded (SURVEY.md sections 2.3/2.4)."""
+        det = self.det
+
+        def step(frames):
+            f = det._front_device_batch(frames)
+            surv_idx, n_surv = jax.vmap(det._compact_device)(f["front"])
+            return det._tail_device_batch(f["planes"], f["vnf"],
+                                          surv_idx, n_surv)
+
+        if self.mesh is not None:
+            try:
+                from jax import shard_map
+            except ImportError:        # older jax
+                from jax.experimental.shard_map import shard_map
+            spec = P(self.axis_name)
+            self._jit_step = jax.jit(shard_map(
+                step, mesh=self.mesh, in_specs=spec, out_specs=spec,
+                check_rep=False))
         else:
-            self._in_sharding = None
-            self._jit_front = jax.jit(front)
-        self._jit_compact = jax.jit(compact)
-        self._jit_tail = jax.jit(tail)
+            self._jit_step = jax.jit(step)
 
     def put(self, frames: np.ndarray) -> jax.Array:
         """Transfer a [B, H, W] uint8 batch, sharded over the mesh."""
@@ -76,9 +89,7 @@ class BatchedPyramidDetector:
 
     def run_device(self, frames):
         """The compiled [B,H,W] -> padded-survivors step (for timing)."""
-        f = self._jit_front(frames)
-        surv_idx, n_surv = self._jit_compact(f["front"])
-        return self._jit_tail(f["planes"], f["vnf"], surv_idx, n_surv)
+        return self._jit_step(frames)
 
     def detect(self, frames: np.ndarray,
                min_neighbors: int = 3) -> List[DetectionResult]:
@@ -88,21 +99,72 @@ class BatchedPyramidDetector:
             return [DetectionResult(empty, np.zeros(0, np.int32), empty,
                                     False) for _ in range(len(frames))]
         dev_frames = self.put(frames)
-        out = jax.tree_util.tree_map(
-            np.asarray, self.run_device(dev_frames))
+        dev = self.run_device(dev_frames)
+        packed, n_surv = self._read_counts(dev)
         # survivor-cap auto-growth, like the single-frame path
-        while bool(np.any(out["n_surv"] > self.det.cap)) \
+        while bool(np.any(n_surv > self.det.cap)) \
                 and self.det.cap < self.det.n_visit:
             self.det.cap = min(self.det.cap * 4, self.det.n_visit)
-            self._jit_compact = jax.jit(jax.vmap(self.det._compact_device))
-            self._jit_tail = jax.jit(jax.vmap(self.det._tail_device))
-            out = jax.tree_util.tree_map(
-                np.asarray, self.run_device(dev_frames))
+            self._build_step()
+            dev = self.run_device(dev_frames)
+            packed, n_surv = self._read_counts(dev)
+        return self._finish(len(frames), dev, packed, n_surv,
+                            min_neighbors)
+
+    @staticmethod
+    def _read_counts(dev):
+        if "packed" in dev:
+            p = np.asarray(dev["packed"])   # ONE tunnel readback
+            return p, p[:, 0]
+        return None, np.asarray(dev["n_surv"])
+
+    def detect_stream(self, batches, min_neighbors: int = 3, depth: int = 2):
+        """Pipelined detection over an iterable of [B, H, W] batches.
+
+        Keeps ``depth`` batches in flight so the tunnel's readback/sync
+        latency and host-side grouping hide under device compute — the
+        throughput analog of the reference's (commented) webcam loop
+        (main.cpp:104-125), which processed frames strictly serially.
+        Yields one ``List[DetectionResult]`` per input batch, in order.
+        A batch that overflows the survivor cap is transparently re-run
+        via :meth:`detect` (recompiling at the grown cap).
+        """
+        from collections import deque
+        q = deque()
+        for frames in batches:
+            q.append((frames, self.run_device(self.put(frames))))
+            if len(q) >= depth:
+                yield self._drain(*q.popleft(), min_neighbors)
+        while q:
+            yield self._drain(*q.popleft(), min_neighbors)
+
+    def _drain(self, frames, dev, min_neighbors):
+        packed, n_surv = self._read_counts(dev)
+        if bool(np.any(n_surv > self.det.cap)) \
+                and self.det.cap < self.det.n_visit:
+            return self.detect(frames, min_neighbors)
+        return self._finish(len(frames), dev, packed, n_surv,
+                            min_neighbors)
+
+    def _finish(self, n_frames, dev, packed, n_surv, min_neighbors):
+        compact_ok = packed is not None
+        if compact_ok:
+            acap = (packed.shape[1] - 2) // 2
+            n_acc = packed[:, 1]
+            compact_ok = bool(np.all(n_acc <= acap))
+        if not compact_ok:
+            out = {k: np.asarray(dev[k]) for k in ("sy", "sx", "ok")}
         results = []
-        for b in range(len(frames)):
-            ok = out["ok"][b]
-            overflow = bool(out["n_surv"][b] > self.det.cap)
-            if ok.any():
+        for b in range(n_frames):
+            overflow = bool(n_surv[b] > self.det.cap)
+            if compact_ok:
+                na = int(n_acc[b])
+                cand = (self.det.plan.boxes_for(
+                            packed[b, 2:2 + na],
+                            packed[b, 2 + acap:2 + acap + na])
+                        if na else np.zeros((0, 4), np.int32))
+            elif out["ok"][b].any():
+                ok = out["ok"][b]
                 cand = self.det.plan.boxes_for(out["sy"][b][ok],
                                                out["sx"][b][ok])
             else:
