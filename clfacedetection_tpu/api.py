@@ -181,14 +181,27 @@ class CascadeClassifier:
                                 **knobs) -> DetectionResult:
         gray = _to_gray(image)
         if flags & CV_HAAR_FIND_BIGGEST_OBJECT:
-            # inherently sequential driver (shrinking scan ROI per scale,
-            # tempcv.cpp:1349-1454) — runs the exact host implementation
-            from .detect.reference_impl import detect_multi_scale_reference
-            boxes = detect_multi_scale_reference(
-                gray, self.spec, scale_factor=scale_factor,
-                min_neighbors=min_neighbors, min_size=tuple(min_size),
-                find_biggest_object=True,
-                rough_search=bool(flags & CV_HAAR_DO_ROUGH_SEARCH))
+            # the ROI-shrink loop is sequential host logic in the
+            # reference too (tempcv.cpp:1349-1454); on TPU the per-scale
+            # window sweeps run the compiled device programs with a
+            # dynamic scan-ROI (ScaleCascadeDetector.find_biggest_object)
+            import jax
+            if jax.default_backend() == "tpu" and "device" not in knobs:
+                det = self._detector(gray.shape, scale_factor, (0, 0),
+                                     max_size, mode="scale_cascade",
+                                     **knobs)
+                boxes = det.find_biggest_object(
+                    gray, min_neighbors=min_neighbors,
+                    min_size=tuple(min_size),
+                    rough_search=bool(flags & CV_HAAR_DO_ROUGH_SEARCH))
+            else:
+                from .detect.reference_impl import \
+                    detect_multi_scale_reference
+                boxes = detect_multi_scale_reference(
+                    gray, self.spec, scale_factor=scale_factor,
+                    min_neighbors=min_neighbors, min_size=tuple(min_size),
+                    find_biggest_object=True,
+                    rough_search=bool(flags & CV_HAAR_DO_ROUGH_SEARCH))
             return DetectionResult(
                 boxes=boxes, neighbors=np.ones(len(boxes), np.int32),
                 candidates=boxes, survivor_overflow=False)

@@ -229,6 +229,11 @@ class ScaleCascadeDetector:
             ys_pos[k, :len(gy)] = gy
 
         self.tables = _build_clf_tables(c, self.scales)
+        if jax.default_backend() == "tpu":
+            # the per-scale tail gathers materialize [cap, clf_chunk,
+            # T, 3, 4] s32 temps; at chunk 256 that is ~190MB per buffer
+            # and the unrolled scale dispatches OOM HBM (measured)
+            clf_chunk = min(clf_chunk, 32)
         self.clf_chunk = min(clf_chunk, max(self.tables.n_clf, 1))
         lattice = self.max_x * self.max_y
         if cap is None:
@@ -285,15 +290,17 @@ class ScaleCascadeDetector:
             pm[i, p] = True
         self._path_mask = pm
         self._pad = int(self.win_h.max() + self.win_w.max() + 4)
-        # Known issue: this program (lax.scan over scales with in-loop
-        # gathers) crashes the TPU runtime worker at >=VGA sizes on the
-        # current libtpu. Scale-cascade is the reference-parity mode, so
-        # auto-fall back to the CPU backend on TPU hosts; the pyramid
-        # detector is the TPU performance path. Override with device=.
-        if device is None and jax.default_backend() == "tpu":
-            device = "cpu"
+        # The lax.scan-over-scales program crashes the TPU runtime worker
+        # at >=VGA sizes ('TPU worker process crashed or restarted',
+        # reproduced 2026-08-17); on TPU the scale loop therefore runs as
+        # per-scale jitted dispatches instead (_detect_unrolled).
+        # device="cpu" forces the scan program on the host CPU.
+        self._use_unrolled = (device != "cpu"
+                              and jax.default_backend() == "tpu")
         self._exec_device = (jax.devices(device)[0] if device else None)
         self._jit_detect = jax.jit(self._detect_device)
+        self._jit_prep = None
+        self._jit_scales = {}
 
     # ------------------------------------------------------------------
     # device program
@@ -343,7 +350,12 @@ class ScaleCascadeDetector:
 
         return walk(0)
 
-    def _per_scale(self, planes, xs):
+    def _per_scale(self, planes, xs, roi=None):
+        """One scale's full evaluation.  ``roi`` (optional traced
+        (start_y, end_y, start_x, end_x) lattice-index bounds,
+        [start, end) like the reference's ScaleCascade invoker ranges)
+        restricts the scan — the FIND_BIGGEST_OBJECT driver's shrinking
+        scan ROI (tempcv.cpp:1408-1415)."""
         c = self.compiled
         spec = c.spec
         H, W = self.H, self.W
@@ -399,6 +411,12 @@ class ScaleCascadeDetector:
         # (tempcv.cpp:816-819), i.e. in-bounds iff x+winW <= W.
         inb = ((ys_pos[:, None] + win_h <= H)
                & (xs_pos[None, :] + win_w <= W))
+        if roi is not None:
+            sy0, sy1, sx0, sx1 = roi
+            iy = jnp.arange(self.max_y)
+            ixr = jnp.arange(self.max_x)
+            inb = inb & ((iy[:, None] >= sy0) & (iy[:, None] < sy1)
+                         & (ixr[None, :] >= sx0) & (ixr[None, :] < sx1))
         if self.do_canny_pruning:
             # skip-by-2 + no-eval when the window's edge density is low
             # (tempcv.cpp:1396-1405: s < 100 or sq < 20; pq aliases the
@@ -536,7 +554,7 @@ class ScaleCascadeDetector:
             return jnp.all(st_pass[:, self.front_k:], axis=-1)
         return jnp.ones((cap,), bool)
 
-    def _detect_device(self, gray):
+    def _prep_device(self, gray):
         c = self.compiled
         ii = integral_images(gray, with_tilted=c.has_tilted)
         padw = [(0, self._pad), (0, self._pad)]
@@ -553,11 +571,79 @@ class ScaleCascadeDetector:
             edges = canny(gray, 0, 50)
             planes["canny"] = jnp.pad(_integral_2d(edges.astype(jnp.int32)),
                                       padw)
+        return planes
+
+    def _detect_device(self, gray):
+        planes = self._prep_device(gray)
 
         def body(carry, xs):
             return carry, self._per_scale(planes, xs)
 
         _, out = jax.lax.scan(body, None, self._scan_xs)
+        return out
+
+    def _detect_unrolled(self, gray):
+        """Scale loop as per-scale jitted dispatches (the TPU path).
+
+        The lax.scan formulation crashes the TPU runtime worker at >=VGA
+        sizes (reproduced 2026-08-17: 'TPU worker process crashed or
+        restarted' on the scan-with-in-loop-gathers program; the same
+        per-scale computation dispatched as standalone programs runs
+        fine).  Each scale's tables are static literals, so every scale
+        gets its own modest program; dispatches are async and overlap.
+        A final packer jit compacts each scale's accepted windows and
+        ships ONE array to the host (each readback pays ~24 ms of
+        tunnel sync).  Returns the same dict as the scan path, minus
+        the full per-window arrays when the compact view suffices.
+        """
+        if self._jit_prep is None:
+            self._jit_prep = jax.jit(self._prep_device)
+        key = self.cap
+        jits = self._jit_scales.get(key)
+        if jits is None:
+            def mk(i):
+                xs_i = jax.tree_util.tree_map(lambda a: np.asarray(a[i]),
+                                              self._scan_xs)
+                return jax.jit(lambda planes: self._per_scale(planes, xs_i))
+
+            acap = min(self.cap, 2048)
+
+            def pack(outs):
+                from .pyramid import _compact
+
+                def one(o):
+                    aidx, n_acc = _compact(o["ok"], acap)
+                    sel = jnp.where(aidx < o["ok"].shape[0], aidx, 0)
+                    return jnp.concatenate([
+                        o["n_surv"].astype(jnp.int32).reshape(1),
+                        n_acc.astype(jnp.int32).reshape(1),
+                        o["sy"][sel].astype(jnp.int32),
+                        o["sx"][sel].astype(jnp.int32)])
+
+                return jnp.stack([one(o) for o in outs])
+
+            jits = ([mk(i) for i in range(self.n_scales)], jax.jit(pack),
+                    acap)
+            self._jit_scales[key] = jits
+        scale_jits, packer, acap = jits
+        planes = self._jit_prep(jnp.asarray(gray, jnp.uint8))
+        outs = []
+        for i, j in enumerate(scale_jits):
+            outs.append(j(planes))
+            if i % 8 == 7:
+                # throttle in-flight executions: each holds its gather
+                # temps in HBM until it retires, and block_until_ready
+                # does not reliably sync on this platform — a tiny
+                # readback is the only real barrier
+                np.asarray(outs[i]["n_surv"])
+        packed = np.asarray(packer(outs))
+        out = {"n_surv": packed[:, 0], "n_acc": packed[:, 1],
+               "acc_y": packed[:, 2:2 + acap],
+               "acc_x": packed[:, 2 + acap:2 + 2 * acap]}
+        if np.any(out["n_acc"] > acap):
+            # accept-compaction overflow: fall back to the full arrays
+            out = jax.tree_util.tree_map(
+                lambda *a: np.stack([np.asarray(x) for x in a]), *outs)
         return out
 
     # ------------------------------------------------------------------
@@ -579,24 +665,36 @@ class ScaleCascadeDetector:
         ctx = (jax.default_device(self._exec_device) if self._exec_device
                else contextlib.nullcontext())
         with ctx:
-            gray = jnp.asarray(gray, jnp.uint8)
-            out = jax.tree_util.tree_map(np.asarray,
-                                         self._jit_detect(gray))
+            if self._use_unrolled:
+                def run(g):
+                    return self._detect_unrolled(g)
+            else:
+                def run(g):
+                    return jax.tree_util.tree_map(
+                        np.asarray,
+                        self._jit_detect(jnp.asarray(g, jnp.uint8)))
+            out = run(gray)
             lattice = self.max_y * self.max_x
             while bool(np.any(out["n_surv"] > self.cap)) \
                     and self.cap < lattice:
                 self.cap = min(self.cap * 4, lattice)
                 self._jit_detect = jax.jit(self._detect_device)
-                out = jax.tree_util.tree_map(np.asarray,
-                                             self._jit_detect(gray))
+                out = run(gray)
         boxes: List[np.ndarray] = []
         overflow = bool(np.any(out["n_surv"] > self.cap))
         for k in range(self.n_scales):
-            ok = out["ok"][k]
-            if not ok.any():
-                continue
-            sx = out["sx"][k][ok]
-            sy = out["sy"][k][ok]
+            if "acc_y" in out:
+                na = int(out["n_acc"][k])
+                if na == 0:
+                    continue
+                sy = out["acc_y"][k][:na]
+                sx = out["acc_x"][k][:na]
+            else:
+                ok = out["ok"][k]
+                if not ok.any():
+                    continue
+                sx = out["sx"][k][ok]
+                sy = out["sy"][k][ok]
             ww = np.full_like(sx, self.win_w[k])
             wh = np.full_like(sx, self.win_h[k])
             boxes.append(np.stack([sx, sy, ww, wh], axis=1))
@@ -605,6 +703,114 @@ class ScaleCascadeDetector:
         else:
             cand = np.zeros((0, 4), np.int32)
         return cand, overflow
+
+    def find_biggest_object(self, gray, min_neighbors: int = 3,
+                            min_size: Tuple[int, int] = (0, 0),
+                            rough_search: bool = False) -> np.ndarray:
+        """CV_HAAR_FIND_BIGGEST_OBJECT driver with device-side window
+        evaluation (tempcv.cpp:1349-1454, 1477-1489).
+
+        The ROI-shrink loop is inherently sequential host logic (the
+        reference runs it on the host too and only parallelizes the
+        per-scale window sweep); each scale's evaluation runs the
+        compiled per-scale program with a dynamic scan-ROI argument.
+        Scales descend from the largest; after the first scale that
+        yields candidates, the scan narrows to an eps-expanded ROI
+        around the biggest grouped box and the minimum window rises to
+        0.4 (0.6 with DO_ROUGH_SEARCH) of it.  Build the detector with
+        ``min_size=(0, 0)`` so every factor is available; pass the
+        caller's minSize here.  Returns the single biggest box [1, 4]
+        (or empty [0, 4]).
+        """
+        eps = 0.2
+        if self.n_scales == 0:
+            return np.zeros((0, 4), np.int32)
+        if self._jit_prep is None:
+            self._jit_prep = jax.jit(self._prep_device)
+        jits = self._jit_scales.get(("fbo", self.cap))
+        if jits is None:
+            acap = min(self.cap, 2048)
+
+            def mk(i):
+                xs_i = jax.tree_util.tree_map(lambda a: np.asarray(a[i]),
+                                              self._scan_xs)
+
+                def run(planes, roi):
+                    from .pyramid import _compact
+                    o = self._per_scale(planes, xs_i,
+                                        roi=(roi[0], roi[1], roi[2],
+                                             roi[3]))
+                    aidx, n_acc = _compact(o["ok"], acap)
+                    sel = jnp.where(aidx < o["ok"].shape[0], aidx, 0)
+                    return jnp.concatenate([
+                        o["n_surv"].astype(jnp.int32).reshape(1),
+                        n_acc.astype(jnp.int32).reshape(1),
+                        o["sy"][sel].astype(jnp.int32),
+                        o["sx"][sel].astype(jnp.int32)])
+
+                return jax.jit(run)
+
+            jits = ([mk(i) for i in range(self.n_scales)], acap)
+            self._jit_scales[("fbo", self.cap)] = jits
+        scale_jits, acap = jits
+        planes = self._jit_prep(jnp.asarray(gray, jnp.uint8))
+        H, W = self.H, self.W
+        min_w, min_h = min_size
+        scan_roi = None
+        candidates: List[Tuple[int, int, int, int]] = []
+
+        def run_scale(k, roi_np):
+            p = np.asarray(scale_jits[k](planes,
+                                         jnp.asarray(roi_np, jnp.int32)))
+            na = min(int(p[1]), acap)
+            return np.stack([p[2 + acap:2 + acap + na], p[2:2 + na],
+                             np.full(na, self.win_w[k], np.int32),
+                             np.full(na, self.win_h[k], np.int32)],
+                            axis=1) if na else np.zeros((0, 4), np.int32)
+
+        for k in reversed(range(self.n_scales)):
+            factor = float(self.scales[k])
+            ystep = max(2.0, factor)
+            win_w, win_h = int(self.win_w[k]), int(self.win_h[k])
+            if win_w < min_w or win_h < min_h:
+                break  # descending scales: nothing smaller qualifies
+            if scan_roi is None:
+                roi = (0, int(cv_round((H - win_h) / ystep)),
+                       0, int(cv_round((W - win_w) / ystep)))
+            else:
+                rx, ry, rw, rh = scan_roi
+                roi = (int(cv_round(ry / ystep)),
+                       int(cv_round((ry + rh - win_h) / ystep)),
+                       int(cv_round(rx / ystep)),
+                       int(cv_round((rx + rw - win_w) / ystep)))
+            boxes_k = run_scale(k, roi)
+            candidates.extend(map(tuple, boxes_k.tolist()))
+            if candidates and scan_roi is None:
+                # lock on: group, expand the biggest box by eps, raise
+                # the minimum window (tempcv.cpp:1422-1454)
+                grouped, _ = group_rectangles(
+                    np.asarray(candidates, np.int64),
+                    max(min_neighbors, 1), eps)
+                if len(grouped):
+                    areas = grouped[:, 2] * grouped[:, 3]
+                    mx = grouped[int(np.argmax(areas))]
+                    candidates.append(tuple(int(v) for v in mx))
+                    dx = int(cv_round(mx[2] * eps))
+                    dy = int(cv_round(mx[3] * eps))
+                    rx = max(int(mx[0]) - dx, 0)
+                    ry = max(int(mx[1]) - dy, 0)
+                    rw = min(int(mx[2]) + dx * 2, W - 1 - rx)
+                    rh = min(int(mx[3]) + dy * 2, H - 1 - ry)
+                    scan_roi = (rx, ry, rw, rh)
+                    min_scale = 0.6 if rough_search else 0.4
+                    min_w = int(cv_round(mx[2] * min_scale))
+                    min_h = int(cv_round(mx[3] * min_scale))
+        boxes = np.asarray(candidates, np.int64).reshape(-1, 4)
+        boxes, neigh = group_rectangles(boxes, max(min_neighbors, 1), eps)
+        if not len(boxes):
+            return np.zeros((0, 4), np.int32)
+        biggest = boxes[int(np.argmax(boxes[:, 2] * boxes[:, 3]))]
+        return biggest[None].astype(np.int32)
 
     def detect(self, gray, min_neighbors: int = 3) -> DetectionResult:
         """Full detection incl. grouping (cvHaarDetectObjectsForROC tail,

@@ -112,7 +112,14 @@ def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
         dcache = {}
 
         def rect(scr, cy, cx):
-            """Rect sum over the whole tile (4-corner signs + - - +)."""
+            """Rect sum over the whole tile (4-corner signs + - - +).
+
+            Row-difference values are cached in *float32*: D spans at
+            most h0 window rows, so |D| <= 255 * h0 * W < 2^24 and the
+            f32 representation is exact (ditto the sq_hi/sq_lo planes).
+            This drops the per-rect int->f32 convert — the f32 subtract
+            of exact integers reproduces the XLA spec's value bit-for-bit.
+            """
             upright = (cy[0] == cy[1] and cy[2] == cy[3]
                        and cx[0] == cx[2] and cx[1] == cx[3])
             if upright and rd_mode:
@@ -120,7 +127,7 @@ def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
                 d = dcache.get(key)
                 if d is None:
                     d = (scr[cy[0]:cy[0] + bh, :]
-                         - scr[cy[2]:cy[2] + bh, :])
+                         - scr[cy[2]:cy[2] + bh, :]).astype(jnp.float32)
                     dcache[key] = d
                 return d[:, cx[0]:cx[0] + bw] - d[:, cx[1]:cx[1] + bw]
             return (scr[cy[0]:cy[0] + bh, cx[0]:cx[0] + bw]

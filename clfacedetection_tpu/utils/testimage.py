@@ -71,6 +71,8 @@ def photo_scene(shape: Tuple[int, int] = (1080, 1920),
     for size in face_sizes:
         f = size / fw
         ph, pw = max(8, int(round(bh * f))), max(8, int(round(bw * f)))
+        if ph > H or pw > W:
+            continue  # pasted photo would not fit this frame
         patch = _resize_u8(base, (ph, pw))
         y = int(rng.integers(0, max(1, H - ph)))
         x = int(rng.integers(0, max(1, W - pw)))
