@@ -69,14 +69,24 @@ class BatchedPyramidDetector:
                                           surv_idx, n_surv)
 
         if self.mesh is not None:
+            import inspect
             try:
                 from jax import shard_map
             except ImportError:        # older jax
                 from jax.experimental.shard_map import shard_map
             spec = P(self.axis_name)
+            kw = {}
+            params = inspect.signature(shard_map).parameters
+            # replication checking must be off (outputs are per-shard);
+            # the kwarg was renamed check_rep -> check_vma across jax
+            # versions
+            for name in ("check_rep", "check_vma"):
+                if name in params:
+                    kw[name] = False
+                    break
             self._jit_step = jax.jit(shard_map(
                 step, mesh=self.mesh, in_specs=spec, out_specs=spec,
-                check_rep=False))
+                **kw))
         else:
             self._jit_step = jax.jit(step)
 
