@@ -47,7 +47,7 @@ __all__ = ["build_front_kernel"]
 def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
                        h0: int, w0: int, equ_y, equ_x, inv_area: float,
                        visit: np.ndarray, has_tilted: bool,
-                       bh: int = 32, bw: int = 512,
+                       bh: int = 32, bw: int = 256,
                        batch: Optional[int] = None,
                        gate_after: int = 6):
     """Returns fn(planes: dict[str, i32[(B,) Hp, Wp]]) -> (front
