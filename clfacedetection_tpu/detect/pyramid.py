@@ -404,22 +404,8 @@ class PyramidDetector:
         self.use_pallas_tail = (jax.default_backend() == "tpu"
                                 and dtype == jnp.float32
                                 and not c.has_tilted
-                                and w0 + 1 <= 32)
+                                and w0 + 1 <= 32 and h0 + 1 <= 32)
         self.tail_chunkk = 64
-        if self.use_pallas_tail:
-            # VMEM budget: resident stencil + band window + chunk buffers
-            # must fit ~16MB/core; oversized cascades (frontalface_default:
-            # 2913 nodes x 32 patch rows ~ 12MB stencil) keep the XLA tail
-            # until NN-blocking is added
-            from ..ops.haar_tail import patch_rows, plan_bands
-            rows = patch_rows(h0 + 1)
-            nn = -(-(self.tables.n_clf * self.tables.T) // 128) * 128
-            _, r = plan_bands(self.plan.canvas_h + 1)
-            band_w = ((self.plan.canvas_w) // 128) * 128 + 256
-            est = (32 * rows * nn + (r + rows + 8) * band_w
-                   + self.tail_chunkk * (32 * rows + nn)) * 4
-            if est > 12_500_000:
-                self.use_pallas_tail = False
         self._tail_kernels = {}
         self._visit_np = vm
         self._front_kernels = {}

@@ -128,24 +128,41 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
     nch = -(-cap // chunk)
     capp = cap + nb * chunk
     capp_pad = -(-capp // 8) * 8
+    # NN blocking: keep resident stencil block + band + chunk buffers
+    # within the VMEM budget (large cascades like frontalface_default,
+    # 2913 nodes x 32 patch rows, need the stencil split over the grid).
+    # A single constant-index stencil block is fetched once; a varying
+    # block index makes Mosaic double-buffer it (2x VMEM), so the
+    # blocked case budgets the stencil twice.
+    budget = 12_000_000 // 4
+    fixed = (r + load_rows) * band_w + chunk * 32 * rows
+    if 32 * rows * nn + fixed + chunk * nn <= budget:
+        nnb = nn
+    else:
+        nnb = ((budget - fixed) // (2 * 32 * rows + chunk)) // 128 * 128
+        nnb = max(128, min(nn, nnb))
+    nkb = -(-nn // nnb)
+    nn_pad = nkb * nnb
 
     def kernel(syx_ref, lo_ref, cnt_ref, plane_hbm, sten, out_hbm,
                band, patches, vals, sems):
         if batch is None:
             b = pl.program_id(0)
             j = pl.program_id(1)
+            kb = pl.program_id(2)
             fr = None
         else:
             fr = pl.program_id(0)
             b = pl.program_id(1)
             j = pl.program_id(2)
+            kb = pl.program_id(3)
         lo = lo_ref[fr, b] if batch is not None else lo_ref[b]
         hi = lo + (cnt_ref[fr, b] if batch is not None else cnt_ref[b])
         # lo is chunk-aligned by construction; the //8*8 idiom makes the
         # alignment provable for Mosaic's DMA index checks
         start = ((lo + j * chunk) // 8) * 8
 
-        @pl.when((j == 0) & (start < hi))
+        @pl.when((j == 0) & (kb == 0) & (start < hi))
         def _dma_band():
             src = (plane_hbm.at[pl.ds(b * r, r + load_rows),
                                 pl.ds(0, band_w)]
@@ -156,8 +173,8 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
             dma.start()
             dma.wait()
 
-        @pl.when(start < hi)
-        def _chunk():
+        @pl.when((kb == 0) & (start < hi))
+        def _extract():
             for i in range(chunk):
                 g = start + i
                 ok = g < hi
@@ -181,20 +198,27 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
                         ).astype(jnp.float32)
                 for dy in range(rows):
                     patches[i, 32 * dy:32 * dy + 32] = corr[dy, :]
+
+        @pl.when(start < hi)
+        def _matmul():
             # precision=HIGHEST: the MXU default demotes f32 operands to
             # bf16, whose 8-bit mantissa wrecks integral-patch values
             # (same cliff as the XLA tail, pyramid.py:_tail_accept_chunk)
             vals[...] = jnp.dot(patches[...], sten[...],
                                 precision=jax.lax.Precision.HIGHEST,
                                 preferred_element_type=jnp.float32)
-            dst = (out_hbm.at[pl.ds(start, chunk)] if batch is None
-                   else out_hbm.at[fr, pl.ds(start, chunk)])
+            dst = (out_hbm.at[pl.ds(start, chunk), pl.ds(kb * nnb, nnb)]
+                   if batch is None else
+                   out_hbm.at[fr, pl.ds(start, chunk),
+                              pl.ds(kb * nnb, nnb)])
             dma = pltpu.make_async_copy(vals, dst, sems.at[1])
             dma.start()
             dma.wait()
 
-    grid = (nb, nch) if batch is None else (batch, nb, nch)
-    sten_spec = pl.BlockSpec((32 * rows, nn), lambda *idx: (0, 0),
+    grid = ((nb, nch, nkb) if batch is None
+            else (batch, nb, nch, nkb))
+    sten_spec = pl.BlockSpec((32 * rows, nnb),
+                             lambda *idx: (0, idx[len(grid) - 1]),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -204,18 +228,21 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
         scratch_shapes=[
             pltpu.VMEM((r + load_rows, band_w), jnp.int32),
             pltpu.VMEM((chunk, 32 * rows), jnp.float32),
-            pltpu.VMEM((chunk, nn), jnp.float32),
+            pltpu.VMEM((chunk, nnb), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    oshape = ((capp_pad, nn) if batch is None else (batch, capp_pad, nn))
+    oshape = ((capp_pad, nn_pad) if batch is None
+              else (batch, capp_pad, nn_pad))
     call = pl.pallas_call(kernel, grid_spec=grid_spec,
                           out_shape=jax.ShapeDtypeStruct(oshape,
                                                          jnp.float32))
-    sten_dev = np.ascontiguousarray(sten_rows, np.float32)
+    sten_pad = np.zeros((32 * rows, nn_pad), np.float32)
+    sten_pad[:, :nn] = sten_rows
 
     def run(plane, slot_yx, alo, cnt):
-        return call(slot_yx, alo, cnt, plane, sten_dev)[..., :capp, :]
+        return call(slot_yx, alo, cnt, plane,
+                    sten_pad)[..., :capp, :nn]
 
     run.n_bands, run.band_rows, run.capp = nb, r, capp
     return run

@@ -75,3 +75,19 @@ def test_tail_kernel_node_values():
     m = slot_valid
     assert m.sum() > 100
     np.testing.assert_allclose(vals[m][:, :n], ref[m], atol=2e-3)
+
+
+def test_tail_kernel_blocked_stencil():
+    """frontalface_default (2913 nodes x 32 patch rows) exceeds the VMEM
+    stencil budget and exercises the NN-blocked grid axis."""
+    from clfacedetection_tpu.detect import PyramidDetector
+    from clfacedetection_tpu.models import load_cascade
+    from clfacedetection_tpu.utils import photo_scene
+
+    img = photo_scene((480, 640), face_sizes=(60, 100))
+    spec = load_cascade("haarcascade_frontalface_default")
+    dk = PyramidDetector(spec, img.shape, min_size=(40, 40))
+    assert dk.use_pallas_tail
+    dx = PyramidDetector(spec, img.shape, min_size=(40, 40))
+    dx.use_pallas_tail = False
+    assert _boxes(dk, img) == _boxes(dx, img)
