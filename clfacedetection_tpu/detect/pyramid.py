@@ -428,7 +428,7 @@ class PyramidDetector:
             # last band's overhang
             from ..ops.haar_tail import plan_bands
             nb, r = plan_bands(self.plan.canvas_h + 1)
-            need = nb * r + 48 - (self.plan.canvas_h + 1)
+            need = nb * r + 72 - (self.plan.canvas_h + 1)
             self._pad_y = max(self._pad_y, need)
             self._pad_x = max(self._pad_x, 384)
         self._jit_front = jax.jit(self._front_device)

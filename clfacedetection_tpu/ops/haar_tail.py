@@ -118,7 +118,11 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
     """
     hp, wp = plane_shape
     rows = patch_rows(p_h)
-    load_rows = rows + 8           # covers the y%8 sublane misalignment
+    # load height must cover rows + the y%8 sublane misalignment AND be a
+    # power of two: pltpu.roll with a *dynamic* shift silently corrupts
+    # non-power-of-two sublane counts (40/48 rows wrong, 32/64 correct —
+    # measured on v5e; the lowering appears to assume pow2 log-shifts)
+    load_rows = 32 if rows + 8 <= 32 else 64
     nb, r = plan_bands(hv, r_max)
     assert hp >= nb * r + load_rows, (hp, nb, r)
     assert sten_rows.shape[0] == 32 * rows
@@ -134,6 +138,7 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
     # A single constant-index stencil block is fetched once; a varying
     # block index makes Mosaic double-buffer it (2x VMEM), so the
     # blocked case budgets the stencil twice.
+    import os
     budget = 12_000_000 // 4
     fixed = (r + load_rows) * band_w + chunk * 32 * rows
     if 32 * rows * nn + fixed + chunk * nn <= budget:
@@ -141,6 +146,8 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
     else:
         nnb = ((budget - fixed) // (2 * 32 * rows + chunk)) // 128 * 128
         nnb = max(128, min(nn, nnb))
+    if os.environ.get("CLFD_TAIL_NNB"):      # debug override
+        nnb = min(nn, int(os.environ["CLFD_TAIL_NNB"]))
     nkb = -(-nn // nnb)
     nn_pad = nkb * nnb
 

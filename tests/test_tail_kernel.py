@@ -53,8 +53,9 @@ def test_tail_kernel_node_values():
                                       nb, r, det.tail_chunkk, det.cap))(si)
     slot_y, slot_x, slot_valid, _, alo, cnt = [np.asarray(a) for a in sl]
     kernel = det._tail_kernel_for(None)
+    slot_yx = jnp.asarray(slot_y * 65536 + slot_x, jnp.int32)
     vals = np.asarray(jax.jit(kernel)(
-        f["planes"]["sum"], *map(jnp.asarray, (slot_y, slot_x, alo, cnt))))
+        f["planes"]["sum"], slot_yx, jnp.asarray(alo), jnp.asarray(cnt)))
 
     P = det.h0 + 1
 
