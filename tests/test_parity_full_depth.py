@@ -22,11 +22,14 @@ from clfacedetection_tpu.utils import photo_scene
 def test_full_depth_scale_image_vga():
     spec = load_cascade("haarcascade_frontalface_alt")
     img = photo_scene((480, 640), face_sizes=(60, 100))
+    # the window range bounds the oracle's Python-per-window runtime;
+    # the cascade itself is untruncated (all 22 stages)
     ref = detect_multi_scale_reference(
-        img, spec, scale_factor=1.1, min_neighbors=0, min_size=(40, 40),
-        mode="scale_image")
+        img, spec, scale_factor=1.1, min_neighbors=0, min_size=(56, 56),
+        max_size=(160, 160), mode="scale_image")
     det = PyramidDetector(spec, img.shape, scale_factor=1.1,
-                          min_size=(40, 40), dtype=jnp.float64)
+                          min_size=(56, 56), max_size=(160, 160),
+                          dtype=jnp.float64)
     got, overflow = det.candidates(img)
     assert not overflow
     assert len(ref) > 0, "scene must produce candidates"
@@ -39,10 +42,11 @@ def test_full_depth_scale_cascade_vga():
     spec = load_cascade("haarcascade_frontalface_default")
     img = photo_scene((480, 640), face_sizes=(60, 100))
     ref = detect_multi_scale_reference(
-        img, spec, scale_factor=1.1, min_neighbors=0, min_size=(40, 40),
-        mode="scale_cascade")
+        img, spec, scale_factor=1.1, min_neighbors=0, min_size=(56, 56),
+        max_size=(160, 160), mode="scale_cascade")
     det = ScaleCascadeDetector(spec, img.shape, scale_factor=1.1,
-                               min_size=(40, 40), dtype=jnp.float64)
+                               min_size=(56, 56), max_size=(160, 160),
+                               dtype=jnp.float64)
     got, overflow = det.candidates(img)
     assert not overflow
     assert len(ref) > 0
@@ -58,8 +62,12 @@ def test_1080p_candidate_sanity():
     TPU-only kernel equivalence suites)."""
     spec = load_cascade("haarcascade_frontalface_alt")
     img = photo_scene((1080, 1920))
+    # front_stages=2 keeps the dense-front compile tractable on the CPU
+    # backend (~15 min at the default depth); every stage still runs —
+    # the remaining 20 live in the survivor tail
     det = PyramidDetector(spec, img.shape, scale_factor=1.1,
-                          min_size=(40, 40), dtype=jnp.float64)
+                          min_size=(64, 64), dtype=jnp.float64,
+                          front_stages=2)
     res = det.detect(img, min_neighbors=3)
     assert not res.survivor_overflow
     assert 1 <= len(res.boxes) <= 100
