@@ -3,9 +3,9 @@
 Implements the reference's CV_HAAR_SCALE_IMAGE mode (OpenCV's modern
 default: downscale the image per level, keep the 20x20 window fixed;
 tempcv.cpp:1257-1328 + HaarDetectObjects_ScaleImage_Invoker
-tempcv.cpp:989-1113) as three phased device programs (front -> compaction
--> tail; see _tail_device for why the phases are separate jits) built
-around three TPU-first ideas:
+tempcv.cpp:989-1113) as ONE fused device program (prep -> dense front ->
+compaction -> survivor tail; the phase jits remain for tests/profiling)
+built around three TPU-first ideas:
 
 1. **Pyramid packing.**  All levels are resized (pinned 2.4-era fixed-point
    bilinear, ops/resize.py) and stacked into ONE canvas; ONE integral pass
@@ -28,14 +28,17 @@ around three TPU-first ideas:
    static.
 
 3. **MXU tail.**  Front-stage survivors are compacted (static cap) and
-   their windows evaluated in one matmul: a gathered *local rect-integral
-   patch* R[dy,dx] = I[y+dy,x+dx] - I[y,x+dx] - I[y+dy,x] + I[y,x]
+   their windows evaluated against a static stencil matrix holding every
+   node's signed corner weights over the *local rect-integral patch*
+   R[dy,dx] = I[y+dy,x+dx] - I[y,x+dx] - I[y+dy,x] + I[y,x]
    (window-bounded values — exact in float32 even though raw integral
    entries overflow the f32 mantissa; the +,-,-,+ corner pattern makes
-   rect sums invariant under this correction) times a static stencil
-   matrix [(h0+1)(w0+1), n_nodes] holding every node's signed corner
-   weights.  One [cap, 441] x [441, n_nodes] product replaces the
-   reference's per-window per-stage scalar loops (clod.cl:52-80).
+   rect sums invariant under this correction).  On TPU the extraction +
+   matmul run as a Pallas band kernel (ops/haar_tail.py, ~0.2 us per
+   window for all nodes); the XLA vmap-of-dynamic_slice formulation here
+   is the specification and the f64/tilted/CPU path.  Either way this
+   replaces the reference's per-window per-stage scalar loops
+   (clod.cl:52-80).
 
 Parity: float64 mode matches detect.reference_impl(mode="scale_image")
 box-for-box (same resize, same variance semantics, same vote order).

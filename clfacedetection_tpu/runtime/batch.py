@@ -2,11 +2,16 @@
 
 The reference processes frames strictly serially (the commented webcam
 loop, main.cpp:104-125) and parallelizes only within one frame on one
-device.  The TPU-native throughput story is the opposite: batch frames,
-``vmap`` the whole single-frame program (every op in the pyramid detector
-is batch-parallel), and shard the batch dimension across a device mesh —
-XLA SPMD partitions the program with zero cross-chip traffic until the
-host gathers the fixed-size survivor buffers (SURVEY.md sections 2.3/2.4).
+device.  The TPU-native throughput story is the opposite: batch frames
+through one compiled program (the Pallas front/tail kernels carry an
+explicit batch grid axis — vmap cannot cross a pallas_call with
+ANY-space operands) and shard the batch dimension across a device mesh
+with ``shard_map``, so each chip runs the kernels on its local shard.
+No collectives are needed: frames shard the batch axis in, fixed-size
+packed survivor buffers come back batch-sharded, and the host reads
+them with a single transfer (SURVEY.md sections 2.3/2.4).
+``detect_stream`` keeps multiple batches in flight so the tunnel's
+readback latency and host-side grouping overlap device compute.
 """
 
 from __future__ import annotations
