@@ -862,6 +862,11 @@ class PyramidDetector:
                 out["acc_y"].astype(jnp.int32),
                 out["acc_x"].astype(jnp.int32)])
             return out
+        return self._tail_device_xla(planes, vnf, surv_idx, n_surv)
+
+    def _tail_device_xla(self, planes, vnf, surv_idx, n_surv):
+        """The XLA gather-tail specification path (f64, tilted, CPU and
+        SMEM-overflow fallbacks)."""
         shape = (self.plan.canvas_h + 1, self.plan.canvas_w + 1)
         n_flat = shape[0] * shape[1]
         valid = surv_idx < n_flat
@@ -884,7 +889,16 @@ class PyramidDetector:
 
     def _tail_device_batch(self, planes, vnf, surv_idx, n_surv):
         """Batched tail: batch-gridded kernel on the Pallas path, vmap of
-        the XLA path otherwise."""
+        the XLA path otherwise.  The kernel's packed slot prefetch lives
+        in 1MB SMEM; batch*capP combinations that exceed it (e.g. batch
+        16 at cap 16k) use the XLA tail."""
+        if self.use_pallas_tail:
+            from ..ops.haar_tail import plan_bands
+            nb, _ = plan_bands(self.plan.canvas_h + 1)
+            capp = self.cap + nb * self.tail_chunkk
+            if surv_idx.shape[0] * capp * 4 > 900_000:
+                return jax.vmap(self._tail_device_xla)(
+                    planes, vnf, surv_idx, n_surv)
         if self.use_pallas_tail:
             out = self._tail_kernel_accept(planes, vnf, surv_idx,
                                            batch=surv_idx.shape[0])
