@@ -406,7 +406,6 @@ class PyramidDetector:
         # (not wired yet); CPU/f64 keep the XLA specification path.
         self.use_pallas_tail = (jax.default_backend() == "tpu"
                                 and dtype == jnp.float32
-                                and not c.has_tilted
                                 and w0 + 1 <= 32 and h0 + 1 <= 32)
         self.tail_chunkk = 64
         self._tail_kernels = {}
@@ -676,6 +675,11 @@ class PyramidDetector:
             sten = np.zeros((self._sten_sum.shape[0], nn), np.float32)
             sten[:, :n] = self._sten_sum
             rows = remap_stencil_rows(sten, self.h0 + 1, self.w0 + 1)
+            rows_t = None
+            if self._sten_tilt is not None:
+                st = np.zeros((self._sten_tilt.shape[0], nn), np.float32)
+                st[:, :n] = self._sten_tilt
+                rows_t = remap_stencil_rows(st, self.h0 + 1, self.w0 + 1)
             plane_shape = (self.plan.canvas_h + 1 + self._pad_y,
                            self.plan.canvas_w + 1 + self._pad_x)
             k = build_tail_kernel(rows, plane_shape,
@@ -683,7 +687,8 @@ class PyramidDetector:
                                   self.plan.canvas_w + 1,
                                   self.cap, p_h=self.h0 + 1,
                                   chunk=self.tail_chunkk,
-                                  batch=batch)
+                                  batch=batch,
+                                  sten_tilt_rows=rows_t)
             self._tail_kernels[key] = k
         return k
 
@@ -715,7 +720,11 @@ class PyramidDetector:
                 jnp.where(slot_valid, slot_idx, 0), axis=1)
         kernel = self._tail_kernel_for(batch)
         slot_yx = slot_y * 65536 + slot_x
-        vals = kernel(planes["sum"], slot_yx, alo, cnt)
+        if self.compiled.has_tilted:
+            vals = kernel(planes["sum"], slot_yx, alo, cnt,
+                          tilt_plane=planes["tilted"])
+        else:
+            vals = kernel(planes["sum"], slot_yx, alo, cnt)
         lead = slot_y.shape            # (capP,) or (B, capP)
         nv = vals[..., :t.n_clf * t.T].reshape(-1, t.n_clf, t.T)
         val = _cart_votes(nv, svnf.reshape(-1), self._consts, t.T,

@@ -107,14 +107,19 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
                       p_h: int = 21,
                       chunk: int = 64,
                       r_max: int = 576,
-                      batch: Optional[int] = None):
-    """Returns fn(plane, slot_yx, alo, cnt) -> vals [capP, NN].
+                      batch: Optional[int] = None,
+                      sten_tilt_rows: Optional[np.ndarray] = None):
+    """Returns fn(plane, slot_yx, alo, cnt[, tilt_plane]) -> vals.
 
-    ``sten_rows`` is the remapped [768, NN] stencil (NN a multiple of
-    128 recommended); ``plane_shape`` the padded integral plane (must be
-    at least ``band_w`` wide and ``n_bands*r + 24`` tall); survivors
-    come slot-laid-out per :func:`band_slots`.  ``batch`` prepends a
-    frame dimension to plane/slots/vals (one more grid axis).
+    ``sten_rows`` is the remapped [32*rows, NN] stencil; ``plane_shape``
+    the padded integral plane (must be at least ``band_w`` wide and
+    ``n_bands*r + load_rows`` tall); survivors come slot-laid-out per
+    :func:`band_slots`.  ``batch`` prepends a frame dimension to
+    plane/slots/vals (one more grid axis).  ``sten_tilt_rows`` adds the
+    45-degree path: a second band holds the rotated integral (RSAT) and
+    each survivor's tilted patch — corner-only correction, the four
+    tilted corners have distinct dx/dy so only the constant term cancels
+    (tempcv.cpp:743-750) — feeds a second accumulated matmul.
     """
     hp, wp = plane_shape
     rows = patch_rows(p_h)
@@ -139,20 +144,29 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
     # block index makes Mosaic double-buffer it (2x VMEM), so the
     # blocked case budgets the stencil twice.
     import os
+    tilted = sten_tilt_rows is not None
+    n_sten = 2 if tilted else 1
     budget = 12_000_000 // 4
-    fixed = (r + load_rows) * band_w + chunk * 32 * rows
-    if 32 * rows * nn + fixed + chunk * nn <= budget:
+    fixed = (n_sten * (r + load_rows) * band_w
+             + n_sten * chunk * 32 * rows)
+    if n_sten * 32 * rows * nn + fixed + chunk * nn <= budget:
         nnb = nn
     else:
-        nnb = ((budget - fixed) // (2 * 32 * rows + chunk)) // 128 * 128
+        nnb = ((budget - fixed)
+               // (n_sten * 2 * 32 * rows + chunk)) // 128 * 128
         nnb = max(128, min(nn, nnb))
     if os.environ.get("CLFD_TAIL_NNB"):      # debug override
         nnb = min(nn, int(os.environ["CLFD_TAIL_NNB"]))
     nkb = -(-nn // nnb)
     nn_pad = nkb * nnb
 
-    def kernel(syx_ref, lo_ref, cnt_ref, plane_hbm, sten, out_hbm,
-               band, patches, vals, sems):
+    def kernel(syx_ref, lo_ref, cnt_ref, *refs):
+        if tilted:
+            (plane_hbm, tilt_hbm, sten, sten_t, out_hbm,
+             band, band_t, patches, patches_t, vals, sems) = refs
+        else:
+            plane_hbm, sten, out_hbm, band, patches, vals, sems = refs
+            tilt_hbm = band_t = patches_t = sten_t = None
         if batch is None:
             b = pl.program_id(0)
             j = pl.program_id(1)
@@ -171,14 +185,18 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
 
         @pl.when((j == 0) & (kb == 0) & (start < hi))
         def _dma_band():
-            src = (plane_hbm.at[pl.ds(b * r, r + load_rows),
-                                pl.ds(0, band_w)]
-                   if batch is None else
-                   plane_hbm.at[fr, pl.ds(b * r, r + load_rows),
-                                pl.ds(0, band_w)])
-            dma = pltpu.make_async_copy(src, band, sems.at[0])
-            dma.start()
-            dma.wait()
+            pairs = [(plane_hbm, band, 0)]
+            if tilted:
+                pairs.append((tilt_hbm, band_t, 2))
+            for hbm, scr, sem in pairs:
+                src = (hbm.at[pl.ds(b * r, r + load_rows),
+                              pl.ds(0, band_w)]
+                       if batch is None else
+                       hbm.at[fr, pl.ds(b * r, r + load_rows),
+                              pl.ds(0, band_w)])
+                dma = pltpu.make_async_copy(src, scr, sems.at[sem])
+                dma.start()
+                dma.wait()
 
         @pl.when((kb == 0) & (start < hi))
         def _extract():
@@ -194,26 +212,42 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
                 x = jnp.where(ok, v - yg * 65536, 0)
                 ya = (y // 8) * 8
                 xa = (x // 128) * 128
-                raw = band[pl.ds(ya, load_rows), pl.ds(xa, 256)]
-                raw = pltpu.roll(raw, -(y - ya), axis=0)
-                raw = raw[:rows, :]
-                raw = pltpu.roll(raw, -(x - xa), axis=1)
-                blk = raw[:, :32]
-                # window-local correction (exact in int32; rows >= 21 and
-                # lanes >= 21 are garbage zeroed by the stencil rows)
+
+                def load_blk(scr):
+                    raw = scr[pl.ds(ya, load_rows), pl.ds(xa, 256)]
+                    raw = pltpu.roll(raw, -(y - ya), axis=0)
+                    raw = raw[:rows, :]
+                    raw = pltpu.roll(raw, -(x - xa), axis=1)
+                    return raw[:, :32]
+
+                blk = load_blk(band)
+                # window-local correction (exact in int32; rows >= p_h
+                # and lanes >= p_w are garbage zeroed by the stencil)
                 corr = (blk - blk[0:1, :] - blk[:, 0:1] + blk[0, 0]
                         ).astype(jnp.float32)
                 for dy in range(rows):
                     patches[i, 32 * dy:32 * dy + 32] = corr[dy, :]
+                if tilted:
+                    tbk = load_blk(band_t)
+                    # corner-only correction: tilted corners have four
+                    # distinct offsets, only the constant term cancels
+                    tco = (tbk - tbk[0, 0]).astype(jnp.float32)
+                    for dy in range(rows):
+                        patches_t[i, 32 * dy:32 * dy + 32] = tco[dy, :]
 
         @pl.when(start < hi)
         def _matmul():
             # precision=HIGHEST: the MXU default demotes f32 operands to
             # bf16, whose 8-bit mantissa wrecks integral-patch values
             # (same cliff as the XLA tail, pyramid.py:_tail_accept_chunk)
-            vals[...] = jnp.dot(patches[...], sten[...],
-                                precision=jax.lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32)
+            acc = jnp.dot(patches[...], sten[...],
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+            if tilted:
+                acc = acc + jnp.dot(patches_t[...], sten_t[...],
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32)
+            vals[...] = acc
             dst = (out_hbm.at[pl.ds(start, chunk), pl.ds(kb * nnb, nnb)]
                    if batch is None else
                    out_hbm.at[fr, pl.ds(start, chunk),
@@ -227,17 +261,28 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
     sten_spec = pl.BlockSpec((32 * rows, nnb),
                              lambda *idx: (0, idx[len(grid) - 1]),
                              memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    if tilted:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    in_specs.append(sten_spec)
+    if tilted:
+        in_specs.append(pl.BlockSpec((32 * rows, nnb),
+                                     lambda *idx: (0, idx[len(grid) - 1]),
+                                     memory_space=pltpu.VMEM))
+    scratch = [pltpu.VMEM((r + load_rows, band_w), jnp.int32)]
+    if tilted:
+        scratch.append(pltpu.VMEM((r + load_rows, band_w), jnp.int32))
+    scratch.append(pltpu.VMEM((chunk, 32 * rows), jnp.float32))
+    if tilted:
+        scratch.append(pltpu.VMEM((chunk, 32 * rows), jnp.float32))
+    scratch.append(pltpu.VMEM((chunk, nnb), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((3,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), sten_spec],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((r + load_rows, band_w), jnp.int32),
-            pltpu.VMEM((chunk, 32 * rows), jnp.float32),
-            pltpu.VMEM((chunk, nnb), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     oshape = ((capp_pad, nn_pad) if batch is None
               else (batch, capp_pad, nn_pad))
@@ -246,8 +291,14 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
                                                          jnp.float32))
     sten_pad = np.zeros((32 * rows, nn_pad), np.float32)
     sten_pad[:, :nn] = sten_rows
+    if tilted:
+        sten_t_pad = np.zeros((32 * rows, nn_pad), np.float32)
+        sten_t_pad[:, :nn] = sten_tilt_rows
 
-    def run(plane, slot_yx, alo, cnt):
+    def run(plane, slot_yx, alo, cnt, tilt_plane=None):
+        if tilted:
+            return call(slot_yx, alo, cnt, plane, tilt_plane,
+                        sten_pad, sten_t_pad)[..., :capp, :nn]
         return call(slot_yx, alo, cnt, plane,
                     sten_pad)[..., :capp, :nn]
 

@@ -92,3 +92,24 @@ def test_tail_kernel_blocked_stencil():
     dx = PyramidDetector(spec, img.shape, min_size=(40, 40))
     dx.use_pallas_tail = False
     assert _boxes(dk, img) == _boxes(dx, img)
+
+
+def test_tail_kernel_tilted():
+    """Tilted cascades route the rotated integral through a second band
+    + stencil (corner-only patch correction, tempcv.cpp:743-750).
+    A tiny symmetric difference is tolerated: tilted patch values are
+    only constant-corrected, so near-threshold windows can flip between
+    the kernel's and XLA's f32 accumulation orders (measured 1 of 2597
+    on mcs_nose)."""
+    from clfacedetection_tpu.detect import PyramidDetector
+    from clfacedetection_tpu.models import load_cascade
+    from clfacedetection_tpu.utils import photo_scene
+
+    img = photo_scene((480, 640), face_sizes=(120,))
+    spec = load_cascade("haarcascade_mcs_nose")
+    dk = PyramidDetector(spec, img.shape, min_size=(24, 24), max_stages=8)
+    assert dk.use_pallas_tail
+    dx = PyramidDetector(spec, img.shape, min_size=(24, 24), max_stages=8)
+    dx.use_pallas_tail = False
+    a, b = _boxes(dk, img), _boxes(dx, img)
+    assert len(a ^ b) <= max(2, len(b) // 200), (len(a), len(b), len(a & b))
