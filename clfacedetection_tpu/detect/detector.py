@@ -727,41 +727,64 @@ class ScaleCascadeDetector:
             return np.zeros((0, 4), np.int32)
         if self._jit_prep is None:
             self._jit_prep = jax.jit(self._prep_device)
-        jits = self._jit_scales.get(("fbo", self.cap))
-        if jits is None:
-            acap = min(self.cap, 2048)
+        if not hasattr(self, "_fbo_acap"):
+            self._fbo_acap = min(self.cap, 2048)
 
-            def mk(i):
-                xs_i = jax.tree_util.tree_map(lambda a: np.asarray(a[i]),
-                                              self._scan_xs)
+        def get_jits():
+            key = ("fbo", self.cap, self._fbo_acap)
+            jits = self._jit_scales.get(key)
+            if jits is None:
+                acap = self._fbo_acap
 
-                def run(planes, roi):
-                    from .pyramid import _compact
-                    o = self._per_scale(planes, xs_i,
-                                        roi=(roi[0], roi[1], roi[2],
-                                             roi[3]))
-                    aidx, n_acc = _compact(o["ok"], acap)
-                    sel = jnp.where(aidx < o["ok"].shape[0], aidx, 0)
-                    return jnp.concatenate([
-                        o["n_surv"].astype(jnp.int32).reshape(1),
-                        n_acc.astype(jnp.int32).reshape(1),
-                        o["sy"][sel].astype(jnp.int32),
-                        o["sx"][sel].astype(jnp.int32)])
+                def mk(i):
+                    xs_i = jax.tree_util.tree_map(
+                        lambda a: np.asarray(a[i]), self._scan_xs)
 
-                return jax.jit(run)
+                    def run(planes, roi):
+                        from .pyramid import _compact
+                        o = self._per_scale(planes, xs_i,
+                                            roi=(roi[0], roi[1], roi[2],
+                                                 roi[3]))
+                        aidx, n_acc = _compact(o["ok"], acap)
+                        sel = jnp.where(aidx < o["ok"].shape[0], aidx, 0)
+                        return jnp.concatenate([
+                            o["n_surv"].astype(jnp.int32).reshape(1),
+                            n_acc.astype(jnp.int32).reshape(1),
+                            o["sy"][sel].astype(jnp.int32),
+                            o["sx"][sel].astype(jnp.int32)])
 
-            jits = ([mk(i) for i in range(self.n_scales)], acap)
-            self._jit_scales[("fbo", self.cap)] = jits
-        scale_jits, acap = jits
+                    return jax.jit(run)
+
+                jits = ([mk(i) for i in range(self.n_scales)], acap)
+                self._jit_scales[key] = jits
+            return jits
+
         planes = self._jit_prep(jnp.asarray(gray, jnp.uint8))
         H, W = self.H, self.W
         min_w, min_h = min_size
         scan_roi = None
         candidates: List[Tuple[int, int, int, int]] = []
+        lattice = self.max_y * self.max_x
 
         def run_scale(k, roi_np):
-            p = np.asarray(scale_jits[k](planes,
-                                         jnp.asarray(roi_np, jnp.int32)))
+            # overflow handling mirrors candidates(): grow the survivor
+            # cap (and the accept compaction cap) and re-specialize
+            # rather than silently clamping — a dense frame could
+            # otherwise drop candidates and change the biggest object
+            while True:
+                scale_jits, acap = get_jits()
+                p = np.asarray(scale_jits[k](planes,
+                                             jnp.asarray(roi_np,
+                                                         jnp.int32)))
+                grew = False
+                if int(p[0]) > self.cap and self.cap < lattice:
+                    self.cap = min(self.cap * 4, lattice)
+                    grew = True
+                if int(p[1]) > acap and acap < self.cap:
+                    self._fbo_acap = min(self.cap, acap * 4)
+                    grew = True
+                if not grew:
+                    break
             na = min(int(p[1]), acap)
             return np.stack([p[2 + acap:2 + acap + na], p[2:2 + na],
                              np.full(na, self.win_w[k], np.int32),

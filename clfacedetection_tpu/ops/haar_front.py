@@ -109,16 +109,22 @@ def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
         # ---- rect evaluation with a scoped row-difference cache --------
         import os
         rd_mode = int(os.environ.get("CLFD_FRONT_ROWDIFF", "1"))
+        # The f32 cache is exact only while |D| <= 255*h0*(canvas_w+1)
+        # < 2^24; wider canvases (> ~3.2k px at h0=20) would round the
+        # cached row-diffs and could flip threshold-boundary stage
+        # decisions.  There the cache stays int32 (always exact — the
+        # final column subtract is still window-bounded < 2^24) and the
+        # convert moves after the subtract, costing one convert per rect.
+        rd_f32_exact = 255 * h0 * (Wv + 1) < 2 ** 24
         dcache = {}
 
         def rect(scr, cy, cx):
             """Rect sum over the whole tile (4-corner signs + - - +).
 
-            Row-difference values are cached in *float32*: D spans at
-            most h0 window rows, so |D| <= 255 * h0 * W < 2^24 and the
-            f32 representation is exact (ditto the sq_hi/sq_lo planes).
-            This drops the per-rect int->f32 convert — the f32 subtract
-            of exact integers reproduces the XLA spec's value bit-for-bit.
+            Row-difference values are cached in *float32* when exact
+            (see rd_f32_exact above): this drops the per-rect int->f32
+            convert — the f32 subtract of exact integers reproduces the
+            XLA spec's value bit-for-bit.
             """
             upright = (cy[0] == cy[1] and cy[2] == cy[3]
                        and cx[0] == cx[2] and cx[1] == cx[3])
@@ -126,10 +132,12 @@ def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
                 key = (id(scr), int(cy[0]), int(cy[2]))
                 d = dcache.get(key)
                 if d is None:
-                    d = (scr[cy[0]:cy[0] + bh, :]
-                         - scr[cy[2]:cy[2] + bh, :]).astype(jnp.float32)
+                    d = scr[cy[0]:cy[0] + bh, :] - scr[cy[2]:cy[2] + bh, :]
+                    if rd_f32_exact:
+                        d = d.astype(jnp.float32)
                     dcache[key] = d
-                return d[:, cx[0]:cx[0] + bw] - d[:, cx[1]:cx[1] + bw]
+                out = d[:, cx[0]:cx[0] + bw] - d[:, cx[1]:cx[1] + bw]
+                return out if rd_f32_exact else out.astype(jnp.float32)
             return (scr[cy[0]:cy[0] + bh, cx[0]:cx[0] + bw]
                     - scr[cy[1]:cy[1] + bh, cx[1]:cx[1] + bw]
                     - scr[cy[2]:cy[2] + bh, cx[2]:cx[2] + bw]

@@ -154,7 +154,14 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
     else:
         nnb = ((budget - fixed)
                // (n_sten * 2 * 32 * rows + chunk)) // 128 * 128
-        nnb = max(128, min(nn, nnb))
+        if nnb < 128:
+            # the fixed footprint (bands + patch scratch) alone busts the
+            # VMEM budget — e.g. a tilted cascade on a very wide canvas
+            # doubles the band scratch.  Emitting the call anyway would
+            # fail at Mosaic compile time; signal the caller to fall back
+            # to the XLA tail instead.
+            return None
+        nnb = min(nn, nnb)
     if os.environ.get("CLFD_TAIL_NNB"):      # debug override
         nnb = min(nn, int(os.environ["CLFD_TAIL_NNB"]))
     nkb = -(-nn // nnb)

@@ -124,7 +124,7 @@ class BatchedPyramidDetector:
             dev = self.run_device(dev_frames)
             packed, n_surv = self._read_counts(dev)
         return self._finish(len(frames), dev, packed, n_surv,
-                            min_neighbors)
+                            min_neighbors, self.det.cap)
 
     @staticmethod
     def _read_counts(dev):
@@ -147,21 +147,26 @@ class BatchedPyramidDetector:
         from collections import deque
         q = deque()
         for frames in batches:
-            q.append((frames, self.run_device(self.put(frames))))
+            # record the cap in effect at enqueue time: a later batch may
+            # overflow and grow self.det.cap mid-stream, but THIS batch's
+            # device result was computed (and truncated) at the old cap —
+            # comparing its n_surv against the new, larger cap would
+            # silently accept dropped detections
+            q.append((frames, self.run_device(self.put(frames)),
+                      self.det.cap))
             if len(q) >= depth:
                 yield self._drain(*q.popleft(), min_neighbors)
         while q:
             yield self._drain(*q.popleft(), min_neighbors)
 
-    def _drain(self, frames, dev, min_neighbors):
+    def _drain(self, frames, dev, cap, min_neighbors):
         packed, n_surv = self._read_counts(dev)
-        if bool(np.any(n_surv > self.det.cap)) \
-                and self.det.cap < self.det.n_visit:
+        if bool(np.any(n_surv > cap)) and cap < self.det.n_visit:
             return self.detect(frames, min_neighbors)
         return self._finish(len(frames), dev, packed, n_surv,
-                            min_neighbors)
+                            min_neighbors, cap)
 
-    def _finish(self, n_frames, dev, packed, n_surv, min_neighbors):
+    def _finish(self, n_frames, dev, packed, n_surv, min_neighbors, cap):
         compact_ok = packed is not None
         if compact_ok:
             acap = (packed.shape[1] - 2) // 2
@@ -171,7 +176,7 @@ class BatchedPyramidDetector:
             out = {k: np.asarray(dev[k]) for k in ("sy", "sx", "ok")}
         results = []
         for b in range(n_frames):
-            overflow = bool(n_surv[b] > self.det.cap)
+            overflow = bool(n_surv[b] > cap)
             if compact_ok:
                 na = int(n_acc[b])
                 cand = (self.det.plan.boxes_for(
