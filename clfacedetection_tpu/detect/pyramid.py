@@ -402,8 +402,9 @@ class PyramidDetector:
         self.use_pallas_front = bool(use_pallas_front)
         # Pallas survivor tail: VMEM band extraction + MXU stencil matmul
         # (ops/haar_tail.py) — the XLA gather path is element-rate bound
-        # (~1.7 us/window).  f32-only; tilted needs a second plane/stencil
-        # (not wired yet); CPU/f64 keep the XLA specification path.
+        # (~1.7 us/window).  f32-only; tilted cascades run through the
+        # kernel with a second RSAT band + stencil; CPU/f64 and windows
+        # wider than 31 px keep the XLA specification path.
         self.use_pallas_tail = (jax.default_backend() == "tpu"
                                 and dtype == jnp.float32
                                 and w0 + 1 <= 32 and h0 + 1 <= 32)
@@ -433,6 +434,34 @@ class PyramidDetector:
             need = nb * r + 72 - (self.plan.canvas_h + 1)
             self._pad_y = max(self._pad_y, need)
             self._pad_x = max(self._pad_x, 384)
+        # v2 tail (ops/haar_tail2.py): cascade walk inside the kernel with
+        # per-chunk early exit — stump / sequential / upright cascades
+        # whose whole stencil fits VMEM; others keep v1 or the XLA path
+        self.use_pallas_tail2 = (self.use_pallas_tail and t.T == 1
+                                 and not self.is_tree
+                                 and not c.has_tilted
+                                 and self.front_k < self.n_stages)
+        self._tail2_kernels = {}
+        if self.use_pallas_tail2:
+            from ..ops.haar_tail import patch_rows
+            from ..ops.haar_tail2 import (plan_stage_groups,
+                                          plan_tail2_bands)
+            hv, wv = self.plan.canvas_h + 1, self.plan.canvas_w + 1
+            rows = patch_rows(h0 + 1)
+            band_w = ((wv - 1) // 128) * 128 + 256
+            groups = plan_stage_groups(c.spec.stage_clf_cnt,
+                                       c.stage_threshold,
+                                       self.front_k, self.n_stages)
+            nn_pad = groups[-1].col0 + groups[-1].width
+            plan2 = plan_tail2_bands(hv, band_w, nn_pad, rows,
+                                     self.tail_chunkk)
+            if plan2 is None:
+                self.use_pallas_tail2 = False
+            else:
+                nb2, r2 = plan2
+                load_rows = 32 if rows + 8 <= 32 else 64
+                self._pad_y = max(self._pad_y, nb2 * r2 + load_rows - hv)
+                self._pad_x = max(self._pad_x, band_w - wv)
         self._jit_front = jax.jit(self._front_device)
         self._jit_compact = jax.jit(self._compact_device)
         self._jit_tail = jax.jit(self._tail_device)
@@ -665,32 +694,113 @@ class PyramidDetector:
         return planes, jnp.pad(ii.sq_hi, padw), jnp.pad(ii.sq_lo, padw)
 
     def _tail_kernel_for(self, batch=None):
+        """Build (or fetch) the tail kernel; ``None`` when the plan's VMEM
+        footprint makes the kernel uncompilable (callers fall back to the
+        XLA tail)."""
         key = (self.cap, batch)
-        k = self._tail_kernels.get(key)
-        if k is None:
-            from ..ops.haar_tail import build_tail_kernel, remap_stencil_rows
-            t = self.tables
-            n = t.n_clf * t.T
-            nn = -(-n // 128) * 128
-            sten = np.zeros((self._sten_sum.shape[0], nn), np.float32)
-            sten[:, :n] = self._sten_sum
-            rows = remap_stencil_rows(sten, self.h0 + 1, self.w0 + 1)
-            rows_t = None
-            if self._sten_tilt is not None:
-                st = np.zeros((self._sten_tilt.shape[0], nn), np.float32)
-                st[:, :n] = self._sten_tilt
-                rows_t = remap_stencil_rows(st, self.h0 + 1, self.w0 + 1)
-            plane_shape = (self.plan.canvas_h + 1 + self._pad_y,
-                           self.plan.canvas_w + 1 + self._pad_x)
-            k = build_tail_kernel(rows, plane_shape,
-                                  self.plan.canvas_h + 1,
-                                  self.plan.canvas_w + 1,
-                                  self.cap, p_h=self.h0 + 1,
-                                  chunk=self.tail_chunkk,
-                                  batch=batch,
-                                  sten_tilt_rows=rows_t)
-            self._tail_kernels[key] = k
+        if key in self._tail_kernels:
+            return self._tail_kernels[key]
+        from ..ops.haar_tail import build_tail_kernel, remap_stencil_rows
+        t = self.tables
+        n = t.n_clf * t.T
+        nn = -(-n // 128) * 128
+        sten = np.zeros((self._sten_sum.shape[0], nn), np.float32)
+        sten[:, :n] = self._sten_sum
+        rows = remap_stencil_rows(sten, self.h0 + 1, self.w0 + 1)
+        rows_t = None
+        if self._sten_tilt is not None:
+            st = np.zeros((self._sten_tilt.shape[0], nn), np.float32)
+            st[:, :n] = self._sten_tilt
+            rows_t = remap_stencil_rows(st, self.h0 + 1, self.w0 + 1)
+        plane_shape = (self.plan.canvas_h + 1 + self._pad_y,
+                       self.plan.canvas_w + 1 + self._pad_x)
+        k = build_tail_kernel(rows, plane_shape,
+                              self.plan.canvas_h + 1,
+                              self.plan.canvas_w + 1,
+                              self.cap, p_h=self.h0 + 1,
+                              chunk=self.tail_chunkk,
+                              batch=batch,
+                              sten_tilt_rows=rows_t)
+        self._tail_kernels[key] = k          # may be None: VMEM-infeasible
         return k
+
+    def _tail2_kernel_for(self, batch=None):
+        """Build (or fetch) the v2 in-kernel-cascade tail; ``None`` when
+        the resident-stencil plan doesn't fit VMEM."""
+        key = (self.cap, batch)
+        if key in self._tail2_kernels:
+            return self._tail2_kernels[key]
+        from ..ops.haar_tail import remap_stencil_rows
+        from ..ops.haar_tail2 import build_tail2_kernel
+        t = self.tables
+        c = self.compiled
+        rows = remap_stencil_rows(self._sten_sum, self.h0 + 1, self.w0 + 1)
+        a = t.alpha
+        idx = np.arange(a.shape[0])
+        a_l = a[idx, -t.left[:, 0]].astype(np.float32)
+        a_r = a[idx, -t.right[:, 0]].astype(np.float32)
+        plane_shape = (self.plan.canvas_h + 1 + self._pad_y,
+                       self.plan.canvas_w + 1 + self._pad_x)
+        k = build_tail2_kernel(rows, t.threshold[:, 0].astype(np.float32),
+                               a_l, a_r, c.spec.stage_clf_ofs,
+                               c.spec.stage_clf_cnt, c.stage_threshold,
+                               self.front_k, self.n_stages,
+                               plane_shape, self.plan.canvas_h + 1,
+                               self.plan.canvas_w + 1, self.cap,
+                               p_h=self.h0 + 1, chunk=self.tail_chunkk,
+                               batch=batch)
+        self._tail2_kernels[key] = k
+        return k
+
+    def _tail_kernel2_accept(self, planes, vnf, surv_idx, batch=None):
+        """v2 kernel tail: the cascade walk ran on-chip; unpack the
+        [capP, 128] state rows into the same out-dict as the v1 path."""
+        from ..ops.haar_tail import band_slots
+        kernel = self._tail2_kernel_for(batch)
+        shape = (self.plan.canvas_h + 1, self.plan.canvas_w + 1)
+        n_flat = shape[0] * shape[1]
+        nb, r = kernel.n_bands, kernel.band_rows
+
+        def slots(s):
+            return band_slots(s, shape[1], n_flat, nb, r,
+                              self.tail_chunkk, self.cap)
+
+        if batch is None:
+            slot_y, slot_x, slot_valid, _slot_idx, alo, cnt = \
+                slots(surv_idx)
+        else:
+            slot_y, slot_x, slot_valid, _slot_idx, alo, cnt = \
+                jax.vmap(slots)(surv_idx)
+        slot_yx = slot_y * 65536 + slot_x
+        pad_y = nb * r + kernel.load_rows - shape[0]
+        pad_x = kernel.band_w - shape[1]
+        padw = [(0, pad_y), (0, pad_x)]
+        if batch is not None:
+            padw = [(0, 0)] + padw
+        st = kernel(planes["sum"], jnp.pad(vnf, padw), slot_yx, alo, cnt)
+        alive = (st[..., 1] > 0.0) & slot_valid
+        out = dict(sy=slot_y, sx=slot_x, ok=alive)
+        lead = slot_y.shape
+        acap = min(lead[-1], 4096)
+
+        def compact_out(ok_f, y_f, x_f):
+            aidx, n_acc = _compact(ok_f, acap)
+            sel = jnp.where(aidx < lead[-1], aidx, 0)
+            return y_f[sel], x_f[sel], n_acc
+
+        if batch is None:
+            ay, ax, n_acc = compact_out(out["ok"], slot_y, slot_x)
+        else:
+            ay, ax, n_acc = jax.vmap(compact_out)(out["ok"], slot_y,
+                                                  slot_x)
+        out["acc_y"], out["acc_x"], out["n_acc"] = ay, ax, n_acc
+        if self.output_levels:
+            level = st[..., 2].astype(jnp.int32)
+            out["level"] = level
+            out["weight"] = st[..., 3]
+            out["ok_roc"] = ((alive | (self.n_stages - level < 4))
+                             & slot_valid)
+        return out
 
     def _tail_kernel_accept(self, planes, vnf, surv_idx, batch=None):
         """Kernel-path tail: band-slot layout + Pallas node values, then
@@ -850,16 +960,20 @@ class PyramidDetector:
         return _compact_hier(front_flat, self.cap)
 
     def _tail_device(self, planes, vnf, surv_idx, n_surv):
-        """Program 3: patch extraction + MXU tail over compacted survivors.
-
-        Deliberately a SEPARATE jit: XLA TPU's fast slice-gather emitter
-        only engages when both the gathered operand and the indices are
-        entry parameters — the same gather on in-program intermediates
-        degrades to element-wise/looped forms measured 100-2000x slower.
-        The three-phase split (front kernel -> compaction -> tail) puts
-        every hot operand on a parameter boundary; everything stays
-        on-device, the cost is two extra dispatches."""
-        if self.use_pallas_tail:
+        """Tail phase: patch extraction + MXU evaluation over compacted
+        survivors (Pallas band kernel on TPU f32; XLA gather path for
+        f64/CPU/wide-window fallbacks), plus the single-array readback
+        packing — every separate np.asarray costs ~24 ms of tunnel sync."""
+        if (self.use_pallas_tail and self.use_pallas_tail2
+                and self._tail2_kernel_for() is not None):
+            out = self._tail_kernel2_accept(planes, vnf, surv_idx)
+            out["n_surv"] = n_surv
+            out["packed"] = jnp.concatenate([
+                jnp.asarray(n_surv, jnp.int32).reshape(1),
+                out["n_acc"].astype(jnp.int32).reshape(1),
+                out["acc_y"].astype(jnp.int32),
+                out["acc_x"].astype(jnp.int32)])
+        elif self.use_pallas_tail and self._tail_kernel_for() is not None:
             out = self._tail_kernel_accept(planes, vnf, surv_idx)
             out["n_surv"] = n_surv
             # ONE host-readable array: each np.asarray readback pays a
@@ -870,8 +984,31 @@ class PyramidDetector:
                 out["n_acc"].astype(jnp.int32).reshape(1),
                 out["acc_y"].astype(jnp.int32),
                 out["acc_x"].astype(jnp.int32)])
-            return out
-        return self._tail_device_xla(planes, vnf, surv_idx, n_surv)
+        else:
+            out = self._tail_device_xla(planes, vnf, surv_idx, n_surv)
+        if self.output_levels:
+            out["packed_roc"] = self._pack_roc(out, n_surv)
+        return out
+
+    def _pack_roc(self, out, n_surv):
+        """Device-compacted single-array ROC readback: [n_surv, n_roc,
+        y(acap), x(acap), level(acap), weight(acap)] in ``self.dtype``
+        (y/x/level/counts are < 2^24 so exact in float32; weight keeps
+        the pipeline dtype).  candidates_with_levels reads this with ONE
+        np.asarray instead of 4+ full-array tunnel syncs."""
+        ok = out["ok_roc"]
+        n = ok.shape[0]
+        acap = min(n, 4096)
+        ridx, n_roc = _compact(ok, acap)
+        sel = jnp.where(ridx < n, ridx, 0)
+        dt = self.dtype
+        return jnp.concatenate([
+            jnp.asarray(n_surv, dt).reshape(1),
+            n_roc.astype(dt).reshape(1),
+            out["sy"][sel].astype(dt),
+            out["sx"][sel].astype(dt),
+            out["level"][sel].astype(dt),
+            out["weight"][sel].astype(dt)])
 
     def _tail_device_xla(self, planes, vnf, surv_idx, n_surv):
         """The XLA gather-tail specification path (f64, tilted, CPU and
@@ -899,30 +1036,59 @@ class PyramidDetector:
     def _tail_device_batch(self, planes, vnf, surv_idx, n_surv):
         """Batched tail: batch-gridded kernel on the Pallas path, vmap of
         the XLA path otherwise.  The kernel's packed slot prefetch lives
-        in 1MB SMEM; batch*capP combinations that exceed it (e.g. batch
-        16 at cap 16k) use the XLA tail."""
-        if self.use_pallas_tail:
+        in 1MB SMEM; batches whose slot tables exceed it (e.g. batch 16
+        at cap 16k) are split into sub-batch launches that each fit —
+        still one jitted program, just several pallas dispatches."""
+        batch = surv_idx.shape[0]
+        use_k2 = (self.use_pallas_tail and self.use_pallas_tail2
+                  and self._tail2_kernel_for(batch=batch) is not None)
+        use_kernel = use_k2 or (
+            self.use_pallas_tail
+            and self._tail_kernel_for(batch=batch) is not None)
+        if not use_kernel:
+            return jax.vmap(self._tail_device)(planes, vnf, surv_idx,
+                                               n_surv)
+        if use_k2:
+            nb = self._tail2_kernel_for(batch=batch).n_bands
+        else:
             from ..ops.haar_tail import plan_bands
             nb, _ = plan_bands(self.plan.canvas_h + 1)
-            capp = self.cap + nb * self.tail_chunkk
-            if surv_idx.shape[0] * capp * 4 > 900_000:
-                return jax.vmap(self._tail_device_xla)(
-                    planes, vnf, surv_idx, n_surv)
-        if self.use_pallas_tail:
+        capp = self.cap + nb * self.tail_chunkk
+        sub = batch
+        while sub > 1 and sub * capp * 4 > 900_000:
+            sub = -(-sub // 2)
+        if sub < batch:
+            outs = [self._tail_batch_kernel(
+                        jax.tree_util.tree_map(lambda a: a[i:i + sub],
+                                               planes),
+                        vnf[i:i + sub], surv_idx[i:i + sub],
+                        n_surv[i:i + sub])
+                    for i in range(0, batch, sub)]
+            return jax.tree_util.tree_map(
+                lambda *a: jnp.concatenate(a, axis=0), *outs)
+        return self._tail_batch_kernel(planes, vnf, surv_idx, n_surv)
+
+    def _tail_batch_kernel(self, planes, vnf, surv_idx, n_surv):
+        batch = surv_idx.shape[0]
+        if (self.use_pallas_tail and self.use_pallas_tail2
+                and self._tail2_kernel_for(batch=batch) is not None):
+            out = self._tail_kernel2_accept(planes, vnf, surv_idx,
+                                            batch=batch)
+        else:
             out = self._tail_kernel_accept(planes, vnf, surv_idx,
-                                           batch=surv_idx.shape[0])
-            out["n_surv"] = n_surv
-            out["packed"] = jnp.concatenate([
-                jnp.asarray(n_surv, jnp.int32).reshape(-1, 1),
-                out["n_acc"].astype(jnp.int32).reshape(-1, 1),
-                out["acc_y"].astype(jnp.int32),
-                out["acc_x"].astype(jnp.int32)], axis=1)
-            return out
-        return jax.vmap(self._tail_device)(planes, vnf, surv_idx, n_surv)
+                                           batch=batch)
+        out["n_surv"] = n_surv
+        out["packed"] = jnp.concatenate([
+            jnp.asarray(n_surv, jnp.int32).reshape(-1, 1),
+            out["n_acc"].astype(jnp.int32).reshape(-1, 1),
+            out["acc_y"].astype(jnp.int32),
+            out["acc_x"].astype(jnp.int32)], axis=1)
+        return out
 
     def _detect_device(self, gray):
-        """Single-program variant (compile-check / CPU convenience; on TPU
-        prefer the phased path — see _tail_device)."""
+        """The fused production pipeline: front kernel -> compaction ->
+        tail in ONE jitted program (one device dispatch; the phase jits
+        remain for tests/profiling)."""
         f = self._front_device(gray)
         surv_idx, n_surv = self._compact_device(f["front"])
         return self._tail_device(f["planes"], f["vnf"], surv_idx, n_surv)
@@ -980,16 +1146,33 @@ class PyramidDetector:
         if self.n_levels == 0:
             return (np.zeros((0, 4), np.int32), np.zeros(0, np.int32),
                     np.zeros(0, np.float64), False)
-        out = jax.tree_util.tree_map(np.asarray, self._run_two_phase(gray))
-        while bool(out["n_surv"] > self.cap) and self.cap < self.n_visit:
+        # ONE tunnel readback: the packed ROC array carries counts +
+        # device-compacted (y, x, level, weight); reading the full
+        # per-window arrays would cost 4+ syncs at ~24 ms each
+        dev = self._run_two_phase(gray)
+        pr = np.asarray(dev["packed_roc"])
+        while bool(pr[0] > self.cap) and self.cap < self.n_visit:
             self.cap = min(self.cap * 4, self.n_visit)
             self._jit_compact = jax.jit(self._compact_device)
             self._jit_tail = jax.jit(self._tail_device)
             self._jit_pipeline = jax.jit(self._detect_device)
-            out = jax.tree_util.tree_map(np.asarray,
-                                         self._run_two_phase(gray))
+            dev = self._run_two_phase(gray)
+            pr = np.asarray(dev["packed_roc"])
+        overflow = bool(pr[0] > self.cap)
+        acap = (len(pr) - 2) // 4
+        n_roc = int(pr[1])
+        if n_roc <= acap:
+            if n_roc == 0:
+                return (np.zeros((0, 4), np.int32), np.zeros(0, np.int32),
+                        np.zeros(0, np.float64), overflow)
+            ay = pr[2:2 + n_roc].astype(np.int64)
+            ax = pr[2 + acap:2 + acap + n_roc].astype(np.int64)
+            lvl = pr[2 + 2 * acap:2 + 2 * acap + n_roc].astype(np.int32)
+            wgt = pr[2 + 3 * acap:2 + 3 * acap + n_roc].astype(np.float64)
+            return self.plan.boxes_for(ay, ax), lvl, wgt, overflow
+        # accept-compaction overflow (> acap ROC windows): full arrays
+        out = jax.tree_util.tree_map(np.asarray, dev)
         ok = out["ok_roc"]
-        overflow = bool(out["n_surv"] > self.cap)
         if not ok.any():
             return (np.zeros((0, 4), np.int32), np.zeros(0, np.int32),
                     np.zeros(0, np.float64), overflow)

@@ -36,8 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
-    "bgr_to_gray", "bgra_to_gray", "IntegralImages", "integral_images",
-    "tilted_integral", "invert",
+    "bgr_to_gray", "bgr_to_gray_per_row", "bgra_to_gray", "IntegralImages",
+    "integral_images", "tilted_integral", "invert",
 ]
 
 
@@ -81,6 +81,24 @@ def bgr_to_gray(img: jax.Array, mode: str = "cv") -> jax.Array:
     raise ValueError(f"unknown grayscale mode {mode!r}")
 
 
+def bgr_to_gray_per_row(img: jax.Array, mode: str = "clif") -> jax.Array:
+    """Row-parallel grayscale — twin of the reference's per-row-vectorized
+    ``bgrToGrayscalePerRow`` (clif.cl:35-74): one OpenCL work-item per row,
+    the row processed as manual-SIMD ``uchar4`` chunks.  On TPU the manual
+    SIMD dimension is the VPU lane axis, so the idiomatic equivalent maps
+    one *row* per scan step with the row's pixels vectorized across lanes
+    (``lax.map`` over rows).  Numerically identical to :func:`bgr_to_gray`
+    — the reference variant computes the same float mac + truncation as
+    its per-pixel kernel, just four pixels at a time."""
+    if img.ndim < 3 or img.shape[-1] != 3:
+        raise ValueError(
+            f"bgr_to_gray_per_row expects (..., H, W, 3), got {img.shape}")
+    if img.ndim > 3:
+        return jax.vmap(lambda f: bgr_to_gray_per_row(f, mode))(img)
+    return jax.lax.map(lambda row: bgr_to_gray(row[None], mode=mode)[0],
+                       img)
+
+
 def bgra_to_gray(img: jax.Array, mode: str = "cv") -> jax.Array:
     """uint8 BGRA (..., H, W, 4) -> uint8 grayscale; alpha ignored.
 
@@ -93,9 +111,8 @@ def bgra_to_gray(img: jax.Array, mode: str = "cv") -> jax.Array:
     implemented here with correct semantics instead: identical to
     :func:`bgr_to_gray` on ``img[..., :3]`` (matching
     ``cvtColor(BGRA2GRAY)``, which uses the BGR coefficients and ignores
-    alpha).  The reference's per-row-vectorized variant
-    (``bgrToGrayscalePerRow``, clif.cl:35-74) is a manual-SIMD artifact
-    with no TPU analog — the VPU vectorizes the elementwise form.
+    alpha).  The reference's per-row-vectorized variant has its own twin,
+    :func:`bgr_to_gray_per_row`.
     """
     if img.ndim < 3 or img.shape[-1] != 4:
         raise ValueError(

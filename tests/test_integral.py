@@ -76,6 +76,21 @@ def test_bgr_to_gray_clif(rng):
     gray = np.asarray(bgr_to_gray(img, mode="clif"))
     np.testing.assert_array_equal(gray, expected)
 
+def test_bgr_to_gray_per_row(rng):
+    """Per-row-vectorized twin (clif.cl:35-74): identical output to the
+    per-pixel kernel in both coefficient modes."""
+    from clfacedetection_tpu.ops import bgr_to_gray_per_row
+    img = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+    for mode in ("cv", "clif"):
+        np.testing.assert_array_equal(
+            np.asarray(bgr_to_gray_per_row(img, mode=mode)),
+            np.asarray(bgr_to_gray(img, mode=mode)))
+    batched = rng.integers(0, 256, (2, 16, 24, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(bgr_to_gray_per_row(batched)),
+        np.asarray(bgr_to_gray(batched, mode="clif")))
+
+
 def test_bgra_to_gray_cv(rng):
     """BGRA capability twin (clif.cl:20-33 intent; bit-exact vs cv2's
     BGRA2GRAY, which applies the BGR coefficients and ignores alpha)."""

@@ -55,16 +55,32 @@ def test_full_depth_scale_cascade_vga():
 
 
 @pytest.mark.slow
-def test_1080p_candidate_sanity():
-    """1080p smoke: full-depth detection on the photo scene finds the
-    pasted faces and a plausible candidate count (the full 1080p oracle
-    is minutes-long; exact parity is covered at VGA above and by the
-    TPU-only kernel equivalence suites)."""
+def test_1080p_candidate_sanity_f32():
+    """1080p smoke in float32 (the TPU fast-path dtype): full-depth
+    detection on the photo scene finds the pasted faces and a plausible
+    candidate count.  The f64 variant lives in the ``exhaustive`` lane —
+    its CPU dense front alone is ~10 minutes; exact parity is covered at
+    VGA above and by the TPU-only kernel equivalence suites."""
     spec = load_cascade("haarcascade_frontalface_alt")
     img = photo_scene((1080, 1920))
     # front_stages=2 keeps the dense-front compile tractable on the CPU
     # backend (~15 min at the default depth); every stage still runs —
     # the remaining 20 live in the survivor tail
+    det = PyramidDetector(spec, img.shape, scale_factor=1.1,
+                          min_size=(64, 64), dtype=jnp.float32,
+                          front_stages=2)
+    res = det.detect(img, min_neighbors=3)
+    assert not res.survivor_overflow
+    assert 1 <= len(res.boxes) <= 100
+    assert len(res.candidates) >= len(res.boxes)
+
+
+@pytest.mark.exhaustive
+def test_1080p_candidate_sanity_f64():
+    """Full 1080p smoke at oracle precision (float64) — the heaviest CPU
+    run in the suite, kept in the explicit ``exhaustive`` lane."""
+    spec = load_cascade("haarcascade_frontalface_alt")
+    img = photo_scene((1080, 1920))
     det = PyramidDetector(spec, img.shape, scale_factor=1.1,
                           min_size=(64, 64), dtype=jnp.float64,
                           front_stages=2)

@@ -28,9 +28,76 @@ def test_tail_kernel_matches_xla_tail():
     spec = load_cascade("haarcascade_frontalface_alt")
     dk = PyramidDetector(spec, img.shape, min_size=(40, 40))
     assert dk.use_pallas_tail
+    dk.use_pallas_tail2 = False          # pin the v1 kernel path
     dx = PyramidDetector(spec, img.shape, min_size=(40, 40))
     dx.use_pallas_tail = False
     assert _boxes(dk, img) == _boxes(dx, img)
+
+
+def test_tail2_kernel_matches_xla_tail():
+    """v2 (in-kernel cascade walk + early exit) == XLA tail, box for box,
+    on a stump cascade."""
+    from clfacedetection_tpu.detect import PyramidDetector
+    from clfacedetection_tpu.models import load_cascade
+    from clfacedetection_tpu.utils import photo_scene
+
+    img = photo_scene((480, 640), face_sizes=(60, 100))
+    spec = load_cascade("haarcascade_frontalface_alt")
+    dk = PyramidDetector(spec, img.shape, min_size=(40, 40),
+                         front_stages=8)
+    assert dk.use_pallas_tail2
+    assert dk._tail2_kernel_for() is not None
+    dx = PyramidDetector(spec, img.shape, min_size=(40, 40),
+                         front_stages=8)
+    dx.use_pallas_tail = False
+    assert _boxes(dk, img) == _boxes(dx, img)
+
+
+def test_tail2_roc_matches_xla():
+    """v2 in-kernel level/weight tracking == the XLA ROC fields."""
+    from clfacedetection_tpu.detect import PyramidDetector
+    from clfacedetection_tpu.models import load_cascade
+    from clfacedetection_tpu.utils import photo_scene
+
+    img = photo_scene((480, 640), face_sizes=(60, 100))
+    spec = load_cascade("haarcascade_frontalface_alt")
+    dk = PyramidDetector(spec, img.shape, min_size=(40, 40),
+                         front_stages=8, output_levels=True)
+    assert dk.use_pallas_tail2
+    dx = PyramidDetector(spec, img.shape, min_size=(40, 40),
+                         front_stages=8, output_levels=True)
+    dx.use_pallas_tail = False
+    bk, lk, wk, _ = dk.candidates_with_levels(img)
+    bx, lx, wx, _ = dx.candidates_with_levels(img)
+    ok = np.lexsort(np.asarray(bk).T)
+    ox = np.lexsort(np.asarray(bx).T)
+    assert np.array_equal(np.asarray(bk)[ok], np.asarray(bx)[ox])
+    assert np.array_equal(np.asarray(lk)[ok], np.asarray(lx)[ox])
+    np.testing.assert_allclose(np.asarray(wk)[ok], np.asarray(wx)[ox],
+                               atol=2e-3)
+
+
+def test_tail2_batched():
+    """Batched v2 grid == per-frame single results."""
+    from clfacedetection_tpu.detect import PyramidDetector
+    from clfacedetection_tpu.models import load_cascade
+    from clfacedetection_tpu.runtime.batch import BatchedPyramidDetector
+    from clfacedetection_tpu.utils import photo_scene
+
+    spec = load_cascade("haarcascade_frontalface_alt")
+    img = photo_scene((480, 640), face_sizes=(60, 100))
+    frames = np.stack([img, img[::-1].copy(),
+                       np.ascontiguousarray(img[:, ::-1])])
+    bdet = BatchedPyramidDetector(spec, img.shape, 3, min_size=(40, 40),
+                                  front_stages=8)
+    assert bdet.det.use_pallas_tail2
+    res = bdet.detect(frames, min_neighbors=0)
+    sdet = PyramidDetector(spec, img.shape, min_size=(40, 40),
+                           front_stages=8)
+    for i, r in enumerate(res):
+        c1, _ = sdet.candidates(frames[i])
+        assert set(map(tuple, r.candidates.tolist())) == \
+            set(map(tuple, np.asarray(c1).tolist()))
 
 
 def test_tail_kernel_node_values():
