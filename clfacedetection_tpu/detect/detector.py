@@ -582,6 +582,21 @@ class ScaleCascadeDetector:
         _, out = jax.lax.scan(body, None, self._scan_xs)
         return out
 
+    def _xs_scale(self, i):
+        """Scale ``i``'s table slice as device arrays — passed as jit
+        *arguments* (safe; only closure-captured committed jax.Arrays
+        poison the dispatch path, docs/PERF.md) so all scales share one
+        compiled program."""
+        cache = getattr(self, "_xs_dev", None)
+        if cache is None:
+            cache = self._xs_dev = {}
+        xs = cache.get(i)
+        if xs is None:
+            xs = jax.tree_util.tree_map(lambda a: jnp.asarray(a[i]),
+                                        self._scan_xs)
+            cache[i] = xs
+        return xs
+
     def _detect_unrolled(self, gray):
         """Scale loop as per-scale jitted dispatches (the TPU path).
 
@@ -589,22 +604,29 @@ class ScaleCascadeDetector:
         sizes (reproduced 2026-08-17: 'TPU worker process crashed or
         restarted' on the scan-with-in-loop-gathers program; the same
         per-scale computation dispatched as standalone programs runs
-        fine).  Each scale's tables are static literals, so every scale
-        gets its own modest program; dispatches are async and overlap.
-        A final packer jit compacts each scale's accepted windows and
-        ships ONE array to the host (each readback pays ~24 ms of
-        tunnel sync).  Returns the same dict as the scan path, minus
-        the full per-window arrays when the compact view suffices.
+        fine).  Every scale shares ONE compiled program: the per-scale
+        tables (corner offsets, scan lattice, window sizes) enter as
+        *runtime arguments* — same shapes at every scale, so the ~25
+        per-scale dispatches hit a single jit cache entry instead of
+        compiling ~25 specialized programs (which cost ~30 min of axon
+        remote compiles at VGA full depth).  Dispatches are async and
+        overlap.  A final packer jit compacts each scale's accepted
+        windows and ships ONE array to the host (each readback pays
+        ~24 ms of tunnel sync).  Returns the same dict as the scan
+        path, minus the full per-window arrays when the compact view
+        suffices.
         """
         if self._jit_prep is None:
             self._jit_prep = jax.jit(self._prep_device)
         key = self.cap
         jits = self._jit_scales.get(key)
         if jits is None:
+            shared = jax.jit(
+                lambda planes, xs: self._per_scale(planes, xs))
+
             def mk(i):
-                xs_i = jax.tree_util.tree_map(lambda a: np.asarray(a[i]),
-                                              self._scan_xs)
-                return jax.jit(lambda planes: self._per_scale(planes, xs_i))
+                xs_i = self._xs_scale(i)
+                return lambda planes: shared(planes, xs_i)
 
             acap = min(self.cap, 2048)
 
@@ -736,24 +758,25 @@ class ScaleCascadeDetector:
             if jits is None:
                 acap = self._fbo_acap
 
+                # one shared program for every scale (tables are runtime
+                # args, same shapes at all scales — see _xs_scale)
+                @jax.jit
+                def shared(planes, xs, roi):
+                    from .pyramid import _compact
+                    o = self._per_scale(planes, xs,
+                                        roi=(roi[0], roi[1], roi[2],
+                                             roi[3]))
+                    aidx, n_acc = _compact(o["ok"], acap)
+                    sel = jnp.where(aidx < o["ok"].shape[0], aidx, 0)
+                    return jnp.concatenate([
+                        o["n_surv"].astype(jnp.int32).reshape(1),
+                        n_acc.astype(jnp.int32).reshape(1),
+                        o["sy"][sel].astype(jnp.int32),
+                        o["sx"][sel].astype(jnp.int32)])
+
                 def mk(i):
-                    xs_i = jax.tree_util.tree_map(
-                        lambda a: np.asarray(a[i]), self._scan_xs)
-
-                    def run(planes, roi):
-                        from .pyramid import _compact
-                        o = self._per_scale(planes, xs_i,
-                                            roi=(roi[0], roi[1], roi[2],
-                                                 roi[3]))
-                        aidx, n_acc = _compact(o["ok"], acap)
-                        sel = jnp.where(aidx < o["ok"].shape[0], aidx, 0)
-                        return jnp.concatenate([
-                            o["n_surv"].astype(jnp.int32).reshape(1),
-                            n_acc.astype(jnp.int32).reshape(1),
-                            o["sy"][sel].astype(jnp.int32),
-                            o["sx"][sel].astype(jnp.int32)])
-
-                    return jax.jit(run)
+                    xs_i = self._xs_scale(i)
+                    return lambda planes, roi: shared(planes, xs_i, roi)
 
                 jits = ([mk(i) for i in range(self.n_scales)], acap)
                 self._jit_scales[key] = jits

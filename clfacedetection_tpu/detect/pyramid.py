@@ -756,20 +756,23 @@ class PyramidDetector:
         """v2 kernel tail: the cascade walk ran on-chip; unpack the
         [capP, 128] state rows into the same out-dict as the v1 path."""
         from ..ops.haar_tail import band_slots
+        from ..ops.haar_tail2 import chunk_tables
         kernel = self._tail2_kernel_for(batch)
         shape = (self.plan.canvas_h + 1, self.plan.canvas_w + 1)
         n_flat = shape[0] * shape[1]
         nb, r = kernel.n_bands, kernel.band_rows
 
         def slots(s):
-            return band_slots(s, shape[1], n_flat, nb, r,
-                              self.tail_chunkk, self.cap)
+            out = band_slots(s, shape[1], n_flat, nb, r,
+                             self.tail_chunkk, self.cap)
+            cb, cj = chunk_tables(out[5], nb, self.tail_chunkk, self.cap)
+            return out + (cb, cj)
 
         if batch is None:
-            slot_y, slot_x, slot_valid, _slot_idx, alo, cnt = \
+            slot_y, slot_x, slot_valid, _slot_idx, alo, cnt, cb, cj = \
                 slots(surv_idx)
         else:
-            slot_y, slot_x, slot_valid, _slot_idx, alo, cnt = \
+            slot_y, slot_x, slot_valid, _slot_idx, alo, cnt, cb, cj = \
                 jax.vmap(slots)(surv_idx)
         slot_yx = slot_y * 65536 + slot_x
         pad_y = nb * r + kernel.load_rows - shape[0]
@@ -777,7 +780,8 @@ class PyramidDetector:
         padw = [(0, pad_y), (0, pad_x)]
         if batch is not None:
             padw = [(0, 0)] + padw
-        st = kernel(planes["sum"], jnp.pad(vnf, padw), slot_yx, alo, cnt)
+        st = kernel(planes["sum"], jnp.pad(vnf, padw), slot_yx, cb, cj,
+                    alo, cnt)
         alive = (st[..., 1] > 0.0) & slot_valid
         out = dict(sy=slot_y, sx=slot_x, ok=alive)
         lead = slot_y.shape

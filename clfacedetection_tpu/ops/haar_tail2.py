@@ -50,7 +50,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .haar_tail import patch_rows
 
-__all__ = ["build_tail2_kernel", "plan_stage_groups", "plan_tail2_bands"]
+__all__ = ["build_tail2_kernel", "plan_stage_groups", "plan_tail2_bands",
+           "chunk_tables"]
+
+
+def chunk_tables(cnt, nb: int, chunk: int, cap: int):
+    """Flattened chunk -> (band, local chunk) maps for a 1-D chunk grid.
+
+    A (band, chunk) 2-D grid must provision cap/chunk chunks in EVERY
+    band, so bands holding few survivors leave most grid steps dead —
+    and a dead Mosaic grid step still costs ~5 us on v5e (measured:
+    growing cap 8k -> 16k at fixed ~6.5k survivors added 2.9 ms for 538
+    extra dead steps).  Flattening to one global chunk axis sized
+    cap/chunk + nb makes the number of dead steps independent of how
+    survivors distribute over bands.  All jnp ops (runs in the compact
+    phase); returns ([nch_total] band index, [nch_total] local chunk).
+    """
+    nch_total = -(-cap // chunk) + nb
+    chunks_b = -(-cnt // chunk)                    # [nb]
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(chunks_b).astype(jnp.int32)])
+    t = jnp.arange(nch_total, dtype=jnp.int32)
+    cb = jnp.clip(jnp.searchsorted(starts, t, side="right") - 1,
+                  0, nb - 1).astype(jnp.int32)
+    cj = t - starts[cb]
+    return cb, cj
 
 _BUDGET_WORDS = 12_000_000 // 4
 
@@ -166,33 +190,43 @@ def build_tail2_kernel(sten_rows: np.ndarray,      # [32*rows, n_cols]
             cpar[1, dst] = alpha_l[src]
             cpar[2, dst] = alpha_r[src]
 
-    def kernel(syx_ref, lo_ref, cnt_ref, plane_hbm, vnf_hbm, sten, cp,
-               out_hbm, band, vband, patches, state, sems):
+    def kernel(syx_ref, cb_ref, cj_ref, lo_ref, cnt_ref, plane_hbm,
+               vnf_hbm, sten, cp, out_hbm, band, vband, patches, state,
+               sems):
         if batch is None:
-            b = pl.program_id(0)
-            j = pl.program_id(1)
+            t = pl.program_id(0)
             fr = None
+            b = cb_ref[t]
+            j = cj_ref[t]
+            lo = lo_ref[b]
+            hi = lo + cnt_ref[b]
         else:
             fr = pl.program_id(0)
-            b = pl.program_id(1)
-            j = pl.program_id(2)
-        lo = lo_ref[fr, b] if batch is not None else lo_ref[b]
-        hi = lo + (cnt_ref[fr, b] if batch is not None else cnt_ref[b])
+            t = pl.program_id(1)
+            b = cb_ref[fr, t]
+            j = cj_ref[fr, t]
+            lo = lo_ref[fr, b]
+            hi = lo + cnt_ref[fr, b]
         start = ((lo + j * chunk) // 8) * 8
 
-        @pl.when((j == 0) & (start < hi))
-        def _dma_bands():
-            for hbm, scr, sem in ((plane_hbm, band, 0), (vnf_hbm, vband, 2)):
-                src = (hbm.at[pl.ds(b * r, r + load_rows), pl.ds(0, band_w)]
-                       if batch is None else
-                       hbm.at[fr, pl.ds(b * r, r + load_rows),
-                              pl.ds(0, band_w)])
-                dma = pltpu.make_async_copy(src, scr, sems.at[sem])
-                dma.start()
-                dma.wait()
-
+        # one outer guard: dead grid steps (start >= hi) fall straight
+        # through — a dead Mosaic step still costs ~5 us, so the flat
+        # chunk grid (see chunk_tables) keeps their count minimal
         @pl.when(start < hi)
-        def _extract():
+        def _body():
+            @pl.when(j == 0)
+            def _dma_bands():
+                for hbm, scr, sem in ((plane_hbm, band, 0),
+                                      (vnf_hbm, vband, 2)):
+                    src = (hbm.at[pl.ds(b * r, r + load_rows),
+                                  pl.ds(0, band_w)]
+                           if batch is None else
+                           hbm.at[fr, pl.ds(b * r, r + load_rows),
+                                  pl.ds(0, band_w)])
+                    dma = pltpu.make_async_copy(src, scr, sems.at[sem])
+                    dma.start()
+                    dma.wait()
+
             for i in range(chunk):
                 g = start + i
                 ok = g < hi
@@ -224,47 +258,46 @@ def build_tail2_kernel(sten_rows: np.ndarray,      # [32*rows, n_cols]
                                      jnp.float32)
             state[:, 3:4] = jnp.zeros((chunk, 1), jnp.float32)
 
-        for grp in groups:
-            @pl.when((start < hi) & (jnp.max(state[:, 1:2]) > 0.0))
-            def _group(grp=grp):
-                # precision=HIGHEST: the MXU default demotes f32 to bf16,
-                # whose 8-bit mantissa wrecks integral-patch values
-                acc = jnp.dot(patches[...],
-                              sten[:, grp.col0:grp.col0 + grp.width],
-                              precision=jax.lax.Precision.HIGHEST,
-                              preferred_element_type=jnp.float32)
-                svnf = state[:, 0:1]
-                csl = slice(grp.col0, grp.col0 + grp.width)
-                # exact XLA vote expression: val < thr * vnf -> left alpha
-                cond = acc < cp[0:1, csl] * svnf
-                vote = jnp.where(cond, cp[1:2, csl], cp[2:3, csl])
-                alive = state[:, 1:2]
-                level = state[:, 2:3]
-                weight = state[:, 3:4]
-                for (s, sl, sh, sthr) in grp.stages:
-                    ssum = jnp.sum(vote[:, sl:sh], axis=1, keepdims=True)
-                    entering = alive > 0.0
-                    # the reference reports the sum of the stage a window
-                    # exits at (tempcv.cpp:1084-1088); for full passes
-                    # that ends as the last stage's sum
-                    weight = jnp.where(entering, ssum, weight)
-                    spass = ssum >= np.float32(sthr)
-                    level = jnp.where(entering & ~spass, np.float32(s),
-                                      level)
-                    alive = jnp.where(spass, alive, 0.0)
-                state[:, 1:2] = alive
-                state[:, 2:3] = level
-                state[:, 3:4] = weight
+            for grp in groups:
+                @pl.when(jnp.max(state[:, 1:2]) > 0.0)
+                def _group(grp=grp):
+                    # precision=HIGHEST: the MXU default demotes f32 to
+                    # bf16, whose 8-bit mantissa wrecks integral patches
+                    acc = jnp.dot(patches[...],
+                                  sten[:, grp.col0:grp.col0 + grp.width],
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
+                    svnf = state[:, 0:1]
+                    csl = slice(grp.col0, grp.col0 + grp.width)
+                    # exact XLA vote expression: val < thr * vnf -> left
+                    cond = acc < cp[0:1, csl] * svnf
+                    vote = jnp.where(cond, cp[1:2, csl], cp[2:3, csl])
+                    alive = state[:, 1:2]
+                    level = state[:, 2:3]
+                    weight = state[:, 3:4]
+                    for (s, sl, sh, sthr) in grp.stages:
+                        ssum = jnp.sum(vote[:, sl:sh], axis=1,
+                                       keepdims=True)
+                        entering = alive > 0.0
+                        # the reference reports the sum of the stage a
+                        # window exits at (tempcv.cpp:1084-1088)
+                        weight = jnp.where(entering, ssum, weight)
+                        spass = ssum >= np.float32(sthr)
+                        level = jnp.where(entering & ~spass,
+                                          np.float32(s), level)
+                        alive = jnp.where(spass, alive, 0.0)
+                    state[:, 1:2] = alive
+                    state[:, 2:3] = level
+                    state[:, 3:4] = weight
 
-        @pl.when(start < hi)
-        def _writeback():
             dst = (out_hbm.at[pl.ds(start, chunk), :] if batch is None
                    else out_hbm.at[fr, pl.ds(start, chunk), :])
             dma = pltpu.make_async_copy(state, dst, sems.at[1])
             dma.start()
             dma.wait()
 
-    grid = (nb, nch) if batch is None else (batch, nb, nch)
+    nch_total = -(-cap // chunk) + nb
+    grid = (nch_total,) if batch is None else (batch, nch_total)
     const_idx = (lambda *idx: (0, 0))
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),       # plane
@@ -282,7 +315,7 @@ def build_tail2_kernel(sten_rows: np.ndarray,      # [32*rows, n_cols]
         pltpu.SemaphoreType.DMA((3,)),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -294,8 +327,8 @@ def build_tail2_kernel(sten_rows: np.ndarray,      # [32*rows, n_cols]
                           out_shape=jax.ShapeDtypeStruct(oshape,
                                                          jnp.float32))
 
-    def run(plane, vnf_pad, slot_yx, alo, cnt):
-        return call(slot_yx, alo, cnt, plane, vnf_pad,
+    def run(plane, vnf_pad, slot_yx, cb, cj, alo, cnt):
+        return call(slot_yx, cb, cj, alo, cnt, plane, vnf_pad,
                     sten_g, cpar)[..., :capp, :]
 
     run.n_bands, run.band_rows, run.capp = nb, r, capp
