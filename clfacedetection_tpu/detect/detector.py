@@ -445,8 +445,15 @@ class ScaleCascadeDetector:
         sx = xc[six]
         svnf = lat_vnf.reshape(-1)[surv_idx_c]
 
-        # ---- tail stages on survivors (chunked gathers) -------------------
-        accept = self._tail_accept(planes, xs, sy, sx, svnf) & valid
+        # ---- tail stages on survivors (staged chunked gathers) ------------
+        accept, trunc = self._tail_accept(planes, xs, sy, sx, svnf,
+                                          valid=valid)
+        accept = accept & valid
+        # a truncated staged compaction means dropped windows: report an
+        # over-cap survivor count so the host regrows self.cap and
+        # re-runs (all group caps scale with it)
+        n_surv = jnp.maximum(n_surv,
+                             jnp.where(trunc, jnp.int32(cap + 1), 0))
 
         # ---- visit-set (skip-by-2) + final accept -------------------------
         # f = (result == 0): stage-0 reject for stump/CART cascades (return
@@ -477,20 +484,22 @@ class ScaleCascadeDetector:
         ok = accept & visited.reshape(-1)[surv_idx_c] & valid
         return dict(sy=sy, sx=sx, ok=ok, n_surv=n_surv)
 
-    def _tail_accept(self, planes, xs, sy, sx, svnf):
-        """Evaluate all stages on the compacted survivors and combine
-        stage passes into acceptance (chain AND over tail stages, or
-        path-mask OR/AND for stage trees)."""
+    def _votes_range(self, planes, xs, sy, sx, svnf, c0, c1):
+        """Chunked corner gathers + CART votes for classifiers [c0, c1)
+        over the given survivor coordinate arrays.  Chunks are unrolled
+        in Python: gathers inside lax.scan bodies scalarize on TPU (see
+        pyramid._tail_accept)."""
         c = self.compiled
         dtype = self.dtype
-        cap = self.cap
-        n_clf, T = self.tables.n_clf, self.tables.T
-        ck = self.clf_chunk
-        n_chunks = -(-n_clf // ck)
+        n_rng = c1 - c0
+        T = self.tables.T
+        ck = min(self.clf_chunk, max(n_rng, 1))
+        n_chunks = -(-n_rng // ck)
         padded = n_chunks * ck
         consts = self._consts
 
         def pad_clf(a, fill=0):
+            a = a[c0:c1]
             padn = padded - a.shape[0]
             if padn == 0:
                 return a
@@ -507,10 +516,10 @@ class ScaleCascadeDetector:
             alpha=pad_clf(consts["alpha"]).reshape(n_chunks, ck, T + 1),
         )
         tilt = np.zeros((padded, T), bool)
-        tilt[:n_clf] = self.tables.use_tilted
+        tilt[:n_rng] = self.tables.use_tilted[c0:c1]
         chunk_in["tilt"] = jnp.asarray(tilt).reshape(n_chunks, ck, T)
 
-        def chunk_votes(_, cxs):
+        def chunk_votes(cxs):
             gy = sy[:, None, None, None, None] + cxs["cy"][None]
             gx = sx[:, None, None, None, None] + cxs["cx"][None]
             v = planes["sum"][gy, gx]
@@ -522,37 +531,114 @@ class ScaleCascadeDetector:
             w = cxs["w"][None].astype(dtype)         # [1, ck, T, 3]
             # rect-ordered sum, matching the oracle's accumulation order
             nv = rs[..., 0] * w[..., 0] + rs[..., 1] * w[..., 1] \
-                + rs[..., 2] * w[..., 2]              # [cap, ck, T]
+                + rs[..., 2] * w[..., 2]              # [n, ck, T]
             from .pyramid import _cart_votes
-            val = _cart_votes(
+            return _cart_votes(
                 nv, svnf,
                 dict(threshold=cxs["thr"], left=cxs["left"],
                      right=cxs["right"], alpha=cxs["alpha"]),
                 T, dtype)
-            return None, val
 
-        # unrolled in Python: gathers inside lax.scan bodies scalarize on
-        # TPU (see pyramid._tail_accept)
-        votes = jnp.concatenate(
-            [chunk_votes(None, jax.tree_util.tree_map(lambda a: a[i],
-                                                      chunk_in))[1]
-             for i in range(n_chunks)], axis=1)[:, :n_clf]
-        # per-stage sums via static slices (avoids TPU scatter-add)
+        return jnp.concatenate(
+            [chunk_votes(jax.tree_util.tree_map(lambda a: a[i], chunk_in))
+             for i in range(n_chunks)], axis=1)[:, :n_rng]
+
+    def _stage_groups(self, node_budget: int = 256):
+        """Partition tail stages [front_k, n_stages) into contiguous
+        groups of ~node_budget classifiers."""
+        spec = self.compiled.spec
+        groups = []
+        s = self.front_k
+        while s < self.n_stages:
+            e, nodes = s, 0
+            while e < self.n_stages and (
+                    nodes == 0
+                    or nodes + int(spec.stage_clf_cnt[e]) <= node_budget):
+                nodes += int(spec.stage_clf_cnt[e])
+                e += 1
+            groups.append((s, e))
+            s = e
+        return groups
+
+    def _tail_accept(self, planes, xs, sy, sx, svnf, valid=None):
+        """Tail-stage evaluation on the compacted survivors.
+
+        Sequential cascades run STAGED: stage groups are evaluated over
+        progressively COMPACTED survivor sets with a static shrinking
+        cap schedule — the TPU analog of the reference's per-stage
+        worklist compaction (runSubwindow ping-pong, clod.cpp:1448-1471
+        / clod.cpp:1270-1302), with cumsum+scatter compaction replacing
+        the atomic append.  This matters because the corner gathers are
+        element-rate bound (~0.27 G elem/s): evaluating all ~2k
+        classifiers on every front survivor cost ~4 s/scale at VGA
+        full depth; the staged schedule touches late stages only with
+        the few windows still alive (~25x less gather volume).
+
+        Stage trees (alt_tree) keep the all-stages evaluation — the
+        path masks need every stage's pass bit (tempcv.cpp:834-861).
+
+        Returns (accept [cap] bool, truncated scalar bool); ``truncated``
+        means a group's survivors overflowed the shrunk cap and the
+        caller must regrow ``self.cap`` and re-run.
+        """
+        c = self.compiled
         spec = c.spec
-        seg = jnp.stack(
-            [jnp.sum(votes[:, int(spec.stage_clf_ofs[s]):
-                           int(spec.stage_clf_ofs[s])
-                           + int(spec.stage_clf_cnt[s])], axis=1)
-             for s in range(self.n_stages)], axis=0)
-        st_pass = (seg >= self._consts["stage_threshold"][:, None]
-                   .astype(dtype)).T                   # [cap, n_stages]
+        dtype = self.dtype
+        cap = self.cap
+        thr = self._consts["stage_threshold"]
+        no_trunc = jnp.zeros((), bool)
         if self.is_tree:
-            pm = self._path_mask                       # [n_paths, n_stages]
+            votes = self._votes_range(planes, xs, sy, sx, svnf, 0,
+                                      self.tables.n_clf)
+            seg = jnp.stack(
+                [jnp.sum(votes[:, int(spec.stage_clf_ofs[s]):
+                               int(spec.stage_clf_ofs[s])
+                               + int(spec.stage_clf_cnt[s])], axis=1)
+                 for s in range(self.n_stages)], axis=0)
+            st_pass = (seg >= thr[:, None].astype(dtype)).T
+            pm = self._path_mask
             per_path = jnp.all(st_pass[:, None, :] | ~pm[None], axis=-1)
-            return jnp.any(per_path, axis=-1)
-        if self.front_k < self.n_stages:
-            return jnp.all(st_pass[:, self.front_k:], axis=-1)
-        return jnp.ones((cap,), bool)
+            return jnp.any(per_path, axis=-1), no_trunc
+        groups = self._stage_groups()
+        if not groups:
+            return jnp.ones((cap,), bool), no_trunc
+        from .pyramid import _compact
+        cur_sy, cur_sx, cur_svnf = sy, sx, svnf
+        orig = jnp.arange(cap, dtype=jnp.int32)
+        # start from the caller's validity so padding slots never eat
+        # compaction capacity in later groups
+        alive = (jnp.ones((cap,), bool) if valid is None else valid)
+        cur_n = cap
+        trunc = no_trunc
+        for gi, (s0, s1) in enumerate(groups):
+            c0 = int(spec.stage_clf_ofs[s0])
+            c1 = int(spec.stage_clf_ofs[s1 - 1]
+                     + spec.stage_clf_cnt[s1 - 1])
+            votes = self._votes_range(planes, xs, cur_sy, cur_sx,
+                                      cur_svnf, c0, c1)
+            ok = alive
+            for st in range(s0, s1):
+                o0 = int(spec.stage_clf_ofs[st]) - c0
+                o1 = o0 + int(spec.stage_clf_cnt[st])
+                ssum = jnp.sum(votes[:, o0:o1], axis=1)
+                ok = ok & (ssum >= thr[st].astype(dtype))
+            if gi == len(groups) - 1:
+                accept = jnp.zeros((cap + 1,), bool).at[
+                    jnp.where(ok, orig, cap)].set(
+                        True, mode="drop")[:cap]
+                return accept, trunc
+            ncap = min(max(cap >> (gi + 1), cap // 8, 512), cur_n)
+            aidx, n_pass = _compact(ok, ncap)
+            trunc = trunc | (n_pass > ncap)
+            valid = aidx < cur_n
+            sel = jnp.where(valid, aidx, 0)
+            cur_sy = jnp.where(valid, cur_sy[sel], 0)
+            cur_sx = jnp.where(valid, cur_sx[sel], 0)
+            cur_svnf = jnp.where(valid, cur_svnf[sel],
+                                 jnp.ones((), dtype))
+            orig = jnp.where(valid, orig[sel], cap)
+            alive = valid
+            cur_n = ncap
 
     def _prep_device(self, gray):
         c = self.compiled

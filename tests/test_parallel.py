@@ -38,6 +38,31 @@ def test_batched_matches_single(frames):
 
 
 @pytest.mark.slow
+def test_batched_full_depth_matches_single():
+    """Full-depth (22-stage, untruncated) frontalface_alt over the
+    8-device mesh == the single-device program, box for box.  The
+    driver dryrun additionally runs this shape at VGA
+    (__graft_entry__.dryrun_multichip); this case keeps a full-depth
+    sharded regression inside the suite."""
+    spec = load_cascade("haarcascade_frontalface_alt")
+    shape = (240, 320)
+    full_frames = np.stack([synth_face(shape, size=80.0, seed=i)
+                            for i in range(8)])
+    single = PyramidDetector(spec, shape, min_size=(40, 40))
+    mesh = data_parallel_mesh(jax.devices()[:8])
+    det = BatchedPyramidDetector(spec, shape, 8, mesh=mesh,
+                                 min_size=(40, 40))
+    batch_res = det.detect(full_frames, min_neighbors=0)
+    n_total = 0
+    for i in range(8):
+        ref, _ = single.candidates(full_frames[i])
+        got = batch_res[i].candidates
+        assert set(map(tuple, ref)) == set(map(tuple, got)), f"frame {i}"
+        n_total += len(ref)
+    assert n_total > 0
+
+
+@pytest.mark.slow
 def test_shard_map_matches_batched(frames):
     spec = load_cascade("haarcascade_frontalface_default")
     mesh = data_parallel_mesh(jax.devices()[:8])
