@@ -62,8 +62,12 @@ def test_batched_full_depth_matches_single():
     assert n_total > 0
 
 
-@pytest.mark.slow
+@pytest.mark.exhaustive
 def test_shard_map_matches_batched(frames):
+    """detect_sharded/gather_detections (parallel.py API) == the
+    shard_map BatchedPyramidDetector.  Exhaustive lane: the mesh-based
+    batched tests above already exercise the shard_map pipeline; this
+    only adds the explicit-API equivalence (229 s of CPU compiles)."""
     spec = load_cascade("haarcascade_frontalface_default")
     mesh = data_parallel_mesh(jax.devices()[:8])
     det = BatchedPyramidDetector(spec, (96, 128), 8, mesh=mesh,

@@ -54,13 +54,14 @@ def test_full_depth_scale_cascade_vga():
         {tuple(b) for b in got.tolist()}
 
 
-@pytest.mark.slow
+@pytest.mark.exhaustive
 def test_1080p_candidate_sanity_f32():
     """1080p smoke in float32 (the TPU fast-path dtype): full-depth
     detection on the photo scene finds the pasted faces and a plausible
-    candidate count.  The f64 variant lives in the ``exhaustive`` lane —
-    its CPU dense front alone is ~10 minutes; exact parity is covered at
-    VGA above and by the TPU-only kernel equivalence suites."""
+    candidate count.  Both 1080p sanities live in the ``exhaustive``
+    lane (264 s / ~10 min of CPU XLA respectively); the slow lane's
+    full-depth coverage is the VGA pair above, and 1080p runs on real
+    hardware via bench.py and the TPU kernel suites."""
     spec = load_cascade("haarcascade_frontalface_alt")
     img = photo_scene((1080, 1920))
     # front_stages=2 keeps the dense-front compile tractable on the CPU
