@@ -231,11 +231,19 @@ def detect_objects(image,
     Returns a list of :class:`WeightedRect` (the CLODDetectObjectsResult
     matches array).  The ``clod_flags`` strategy bits selected between CPU
     evaluation orders in the reference (window-major / stage-major /
-    unrolled-block, clod.cpp:1339-1500); on TPU the execution strategy is
-    uniformly "dense front + compacted tail", so the bits are accepted for
-    API parity and only influence the front/tail split:
-    ``CLOD_PER_STAGE_ITERATIONS`` widens the dense front (stage-major
-    flavor), its absence narrows it (window-major flavor).
+    unrolled-block, clod.cpp:1339-1500); each maps to a real TPU
+    execution strategy of the survivor tail:
+
+    - ``CLOD_PER_STAGE_ITERATIONS`` -> ``strategy="per_stage"``: the
+      stage-grouped in-kernel cascade walk with early exit (the worklist
+      / runSubwindow flavor, clod.cpp:1448-1471) and a wider dense front.
+    - ``CLOD_BLOCK_IMPLEMENTATION`` (or ``CLOD_PRECOMPUTE_FEATURES``
+      alone) -> ``strategy="block"``: one fused all-nodes stencil matmul
+      against the precomputed corner-weight matrix (the
+      precomputed-features / unrolled-block flavor, clod.cpp:820-1173).
+    - neither bit -> ``strategy="direct"``: XLA corner gathers with no
+      precomputed stencil kernel (the window-major no-precompute flavor,
+      runClassifier clod.cpp:580-634).
 
     ``use_tpu=False`` runs the NumPy golden implementation — the moral
     equivalent of the reference's ``use_opencl=false`` CPU fallback
@@ -255,11 +263,17 @@ def detect_objects(image,
         return [WeightedRect(int(x), int(y), int(w), int(h), 0)
                 for x, y, w, h in boxes]
 
-    front = 4 if (flags & CLOD_PER_STAGE_ITERATIONS) else 2
+    if flags & CLOD_PER_STAGE_ITERATIONS:
+        strategy, front = "per_stage", 4
+    elif flags & (CLOD_BLOCK_IMPLEMENTATION | CLOD_PRECOMPUTE_FEATURES):
+        strategy, front = "block", 2
+    else:
+        strategy, front = "direct", 2
     clf = CascadeClassifier(spec)
     res = clf.detect_multi_scale_full(
         gray, scale_factor=scale_factor, min_neighbors=min_neighbors,
-        min_size=min_size, max_size=max_window_size, front_stages=front)
+        min_size=min_size, max_size=max_window_size, front_stages=front,
+        strategy=strategy)
     neigh = res.neighbors if len(res.neighbors) else \
         np.zeros(len(res.boxes), np.int32)
     return [WeightedRect(int(x), int(y), int(w), int(h), int(n))

@@ -195,7 +195,16 @@ class ScaleCascadeDetector:
                  clf_chunk: int = 256,
                  max_stages: Optional[int] = None,
                  do_canny_pruning: bool = False,
-                 device: Optional[str] = None):
+                 device: Optional[str] = None,
+                 strategy: Optional[str] = None):
+        if strategy not in (None, "per_stage", "block", "direct"):
+            raise ValueError(f"unknown strategy {strategy!r}")
+        # "per_stage" (default): staged tail groups with compaction;
+        # "block"/"direct": one all-stages evaluation (no staging) —
+        # this mode has no Pallas stencil kernel (windows exceed the
+        # 32-lane patch gate at every scale-cascade scale), so the two
+        # non-staged flavors coincide
+        self.strategy = strategy
         self.spec = spec
         self.H, self.W = int(image_shape[0]), int(image_shape[1])
         self.dtype = dtype
@@ -545,8 +554,11 @@ class ScaleCascadeDetector:
 
     def _stage_groups(self, node_budget: int = 256):
         """Partition tail stages [front_k, n_stages) into contiguous
-        groups of ~node_budget classifiers."""
+        groups of ~node_budget classifiers (one all-stages group under
+        the non-staged "block"/"direct" strategies)."""
         spec = self.compiled.spec
+        if self.strategy in ("block", "direct"):
+            node_budget = 1 << 30
         groups = []
         s = self.front_k
         while s < self.n_stages:

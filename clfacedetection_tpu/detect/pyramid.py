@@ -326,7 +326,8 @@ class PyramidDetector:
                  tail_chunk: int = 8192,
                  max_stages: Optional[int] = None,
                  output_levels: bool = False,
-                 use_pallas_front: Optional[bool] = None):
+                 use_pallas_front: Optional[bool] = None,
+                 strategy: Optional[str] = None):
         self.spec = spec
         self.H, self.W = int(image_shape[0]), int(image_shape[1])
         self.dtype = dtype
@@ -405,8 +406,21 @@ class PyramidDetector:
         # (~1.7 us/window).  f32-only; tilted cascades run through the
         # kernel with a second RSAT band + stencil; CPU/f64 and windows
         # wider than 31 px keep the XLA specification path.
+        # execution strategy (the TPU reading of the reference's
+        # clod_flags taxonomy, clod.h:17-21 / clod.cpp:1339-1500):
+        #   "per_stage" - stage-grouped in-kernel walk with early exit
+        #                 (v2 tail; the worklist/runSubwindow flavor)
+        #   "block"     - one fused all-nodes stencil matmul (v1 tail;
+        #                 the precomputed/unrolled-block flavor)
+        #   "direct"    - XLA corner gathers, no precomputed stencil
+        #                 kernel (the window-major no-precompute flavor)
+        # None auto-selects the fastest eligible path (per_stage).
+        if strategy not in (None, "per_stage", "block", "direct"):
+            raise ValueError(f"unknown strategy {strategy!r}")
+        self.strategy = strategy
         self.use_pallas_tail = (jax.default_backend() == "tpu"
                                 and dtype == jnp.float32
+                                and strategy != "direct"
                                 and w0 + 1 <= 32 and h0 + 1 <= 32)
         self.tail_chunkk = 64
         self._tail_kernels = {}
@@ -438,6 +452,7 @@ class PyramidDetector:
         # per-chunk early exit — stump / sequential / upright cascades
         # whose whole stencil fits VMEM; others keep v1 or the XLA path
         self.use_pallas_tail2 = (self.use_pallas_tail and t.T == 1
+                                 and strategy != "block"
                                  and not self.is_tree
                                  and not c.has_tilted
                                  and self.front_k < self.n_stages)

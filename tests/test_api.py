@@ -46,6 +46,39 @@ def test_detect_objects_clod_api(image):
     assert len(ref) >= 1
 
 
+def test_clod_strategies_agree(image):
+    """The three execution strategies behind the clod_flags bits
+    (per_stage / block / direct, clod.cpp:1339-1500) produce the same
+    candidate boxes — different schedules, one semantics."""
+    from clfacedetection_tpu.api import CLOD_BLOCK_IMPLEMENTATION
+    res = {}
+    for name, flags in (("per_stage", CLOD_PER_STAGE_ITERATIONS),
+                        ("block", CLOD_BLOCK_IMPLEMENTATION),
+                        ("direct", 0)):
+        m = detect_objects(image, "haarcascade_frontalface_default",
+                           min_window_size=(24, 24), min_neighbors=0,
+                           flags=flags)
+        res[name] = {(r.x, r.y, r.width, r.height) for r in m}
+    assert res["per_stage"] == res["block"] == res["direct"]
+    assert len(res["per_stage"]) >= 1
+
+
+def test_scale_cascade_strategies_agree(image):
+    """Staged vs non-staged scale-cascade tails: identical boxes."""
+    import jax.numpy as jnp
+    from clfacedetection_tpu.detect.detector import ScaleCascadeDetector
+    from clfacedetection_tpu.models import load_cascade
+    spec = load_cascade("haarcascade_frontalface_default")
+    outs = []
+    for strat in ("per_stage", "block"):
+        det = ScaleCascadeDetector(spec, image.shape, min_size=(24, 24),
+                                   dtype=jnp.float64, strategy=strat)
+        c, _ = det.candidates(image)
+        outs.append({tuple(b) for b in c.tolist()})
+    assert outs[0] == outs[1]
+    assert len(outs[0]) >= 1
+
+
 def test_find_biggest_object_flag(image):
     clf = CascadeClassifier("haarcascade_frontalface_default",
                             mode="scale_cascade")
