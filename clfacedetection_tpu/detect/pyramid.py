@@ -404,8 +404,9 @@ class PyramidDetector:
         # Pallas survivor tail: VMEM band extraction + MXU stencil matmul
         # (ops/haar_tail.py) — the XLA gather path is element-rate bound
         # (~1.7 us/window).  f32-only; tilted cascades run through the
-        # kernel with a second RSAT band + stencil; CPU/f64 and windows
-        # wider than 31 px keep the XLA specification path.
+        # kernel with a second RSAT band + stencil; windows up to 63 px
+        # wide use 64-lane patch packing (mcs_eyepair_big, 45x11);
+        # CPU/f64 keep the XLA specification path.
         # execution strategy (the TPU reading of the reference's
         # clod_flags taxonomy, clod.h:17-21 / clod.cpp:1339-1500):
         #   "per_stage" - stage-grouped in-kernel walk with early exit
@@ -421,7 +422,7 @@ class PyramidDetector:
         self.use_pallas_tail = (jax.default_backend() == "tpu"
                                 and dtype == jnp.float32
                                 and strategy != "direct"
-                                and w0 + 1 <= 32 and h0 + 1 <= 32)
+                                and w0 + 1 <= 64 and h0 + 1 <= 32)
         self.tail_chunkk = 64
         self._tail_kernels = {}
         self._visit_np = vm
@@ -455,6 +456,7 @@ class PyramidDetector:
                                  and strategy != "block"
                                  and not self.is_tree
                                  and not c.has_tilted
+                                 and w0 + 1 <= 32
                                  and self.front_k < self.n_stages)
         self._tail2_kernels = {}
         if self.use_pallas_tail2:
@@ -733,6 +735,7 @@ class PyramidDetector:
                               self.plan.canvas_h + 1,
                               self.plan.canvas_w + 1,
                               self.cap, p_h=self.h0 + 1,
+                              p_w=self.w0 + 1,
                               chunk=self.tail_chunkk,
                               batch=batch,
                               sten_tilt_rows=rows_t)

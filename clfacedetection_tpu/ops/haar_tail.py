@@ -53,14 +53,23 @@ def patch_rows(p_h: int) -> int:
     return -(-p_h // 8) * 8
 
 
+def patch_lanes(p_w: int) -> int:
+    """Patch lane width: 32 for windows up to 31 px, 64 up to 63 px
+    (the wide mcs_eyepair_big case, 45x11)."""
+    assert p_w <= 64
+    return 32 if p_w <= 32 else 64
+
+
 def remap_stencil_rows(sten: np.ndarray, p_h: int, p_w: int) -> np.ndarray:
-    """[(p_h*p_w), N] stencil -> [32*patch_rows, N], row dy at 32*dy+dx."""
+    """[(p_h*p_w), N] stencil -> [lanes*patch_rows, N], row dy at
+    lanes*dy+dx (lanes = patch_lanes(p_w))."""
     rows = patch_rows(p_h)
-    assert p_h <= rows and p_w <= 32
+    lanes = patch_lanes(p_w)
+    assert p_h <= rows and p_w <= lanes
     n = sten.shape[1]
-    out = np.zeros((32 * rows, n), np.float32)
+    out = np.zeros((lanes * rows, n), np.float32)
     for dy in range(p_h):
-        out[32 * dy:32 * dy + p_w] = sten[dy * p_w:(dy + 1) * p_w]
+        out[lanes * dy:lanes * dy + p_w] = sten[dy * p_w:(dy + 1) * p_w]
     return out
 
 
@@ -105,6 +114,7 @@ def band_slots(surv_idx, w_log: int, n_flat: int, n_bands: int, r: int,
 def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
                       hv: int, wv: int, cap: int,
                       p_h: int = 21,
+                      p_w: int = 21,
                       chunk: int = 64,
                       r_max: int = 576,
                       batch: Optional[int] = None,
@@ -123,6 +133,7 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
     """
     hp, wp = plane_shape
     rows = patch_rows(p_h)
+    lanes = patch_lanes(p_w)
     # load height must cover rows + the y%8 sublane misalignment AND be a
     # power of two: pltpu.roll with a *dynamic* shift silently corrupts
     # non-power-of-two sublane counts (40/48 rows wrong, 32/64 correct —
@@ -130,7 +141,7 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
     load_rows = 32 if rows + 8 <= 32 else 64
     nb, r = plan_bands(hv, r_max)
     assert hp >= nb * r + load_rows, (hp, nb, r)
-    assert sten_rows.shape[0] == 32 * rows
+    assert sten_rows.shape[0] == lanes * rows
     band_w = ((wv - 1) // 128) * 128 + 256
     assert wp >= band_w, (wp, band_w)
     nn = sten_rows.shape[1]
@@ -148,12 +159,12 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
     n_sten = 2 if tilted else 1
     budget = 12_000_000 // 4
     fixed = (n_sten * (r + load_rows) * band_w
-             + n_sten * chunk * 32 * rows)
-    if n_sten * 32 * rows * nn + fixed + chunk * nn <= budget:
+             + n_sten * chunk * lanes * rows)
+    if n_sten * lanes * rows * nn + fixed + chunk * nn <= budget:
         nnb = nn
     else:
         nnb = ((budget - fixed)
-               // (n_sten * 2 * 32 * rows + chunk)) // 128 * 128
+               // (n_sten * 2 * lanes * rows + chunk)) // 128 * 128
         if nnb < 128:
             # the fixed footprint (bands + patch scratch) alone busts the
             # VMEM budget — e.g. a tilted cascade on a very wide canvas
@@ -225,7 +236,7 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
                     raw = pltpu.roll(raw, -(y - ya), axis=0)
                     raw = raw[:rows, :]
                     raw = pltpu.roll(raw, -(x - xa), axis=1)
-                    return raw[:, :32]
+                    return raw[:, :lanes]
 
                 blk = load_blk(band)
                 # window-local correction (exact in int32; rows >= p_h
@@ -233,14 +244,15 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
                 corr = (blk - blk[0:1, :] - blk[:, 0:1] + blk[0, 0]
                         ).astype(jnp.float32)
                 for dy in range(rows):
-                    patches[i, 32 * dy:32 * dy + 32] = corr[dy, :]
+                    patches[i, lanes * dy:lanes * dy + lanes] = corr[dy, :]
                 if tilted:
                     tbk = load_blk(band_t)
                     # corner-only correction: tilted corners have four
                     # distinct offsets, only the constant term cancels
                     tco = (tbk - tbk[0, 0]).astype(jnp.float32)
                     for dy in range(rows):
-                        patches_t[i, 32 * dy:32 * dy + 32] = tco[dy, :]
+                        patches_t[i, lanes * dy:lanes * dy + lanes] = \
+                            tco[dy, :]
 
         @pl.when(start < hi)
         def _matmul():
@@ -265,7 +277,7 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
 
     grid = ((nb, nch, nkb) if batch is None
             else (batch, nb, nch, nkb))
-    sten_spec = pl.BlockSpec((32 * rows, nnb),
+    sten_spec = pl.BlockSpec((lanes * rows, nnb),
                              lambda *idx: (0, idx[len(grid) - 1]),
                              memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
@@ -273,15 +285,15 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     in_specs.append(sten_spec)
     if tilted:
-        in_specs.append(pl.BlockSpec((32 * rows, nnb),
+        in_specs.append(pl.BlockSpec((lanes * rows, nnb),
                                      lambda *idx: (0, idx[len(grid) - 1]),
                                      memory_space=pltpu.VMEM))
     scratch = [pltpu.VMEM((r + load_rows, band_w), jnp.int32)]
     if tilted:
         scratch.append(pltpu.VMEM((r + load_rows, band_w), jnp.int32))
-    scratch.append(pltpu.VMEM((chunk, 32 * rows), jnp.float32))
+    scratch.append(pltpu.VMEM((chunk, lanes * rows), jnp.float32))
     if tilted:
-        scratch.append(pltpu.VMEM((chunk, 32 * rows), jnp.float32))
+        scratch.append(pltpu.VMEM((chunk, lanes * rows), jnp.float32))
     scratch.append(pltpu.VMEM((chunk, nnb), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA((3,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -296,10 +308,10 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
     call = pl.pallas_call(kernel, grid_spec=grid_spec,
                           out_shape=jax.ShapeDtypeStruct(oshape,
                                                          jnp.float32))
-    sten_pad = np.zeros((32 * rows, nn_pad), np.float32)
+    sten_pad = np.zeros((lanes * rows, nn_pad), np.float32)
     sten_pad[:, :nn] = sten_rows
     if tilted:
-        sten_t_pad = np.zeros((32 * rows, nn_pad), np.float32)
+        sten_t_pad = np.zeros((lanes * rows, nn_pad), np.float32)
         sten_t_pad[:, :nn] = sten_tilt_rows
 
     def run(plane, slot_yx, alo, cnt, tilt_plane=None):

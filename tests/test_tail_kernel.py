@@ -100,6 +100,24 @@ def test_tail2_batched():
             set(map(tuple, np.asarray(c1).tolist()))
 
 
+def test_tail_kernel_wide_window():
+    """64-lane patch packing: the 45x11-window (tilted) mcs_eyepair_big
+    cascade — previously the one bundled cascade the kernel tail could
+    not serve — matches the XLA tail box for box."""
+    from clfacedetection_tpu.detect import PyramidDetector
+    from clfacedetection_tpu.models import load_cascade
+    from clfacedetection_tpu.utils import photo_scene
+
+    img = photo_scene((480, 640), face_sizes=(60, 100))
+    spec = load_cascade("haarcascade_mcs_eyepair_big")
+    dk = PyramidDetector(spec, img.shape, min_size=(90, 22))
+    assert dk.use_pallas_tail
+    assert not dk.use_pallas_tail2          # wide windows stay on v1
+    dx = PyramidDetector(spec, img.shape, min_size=(90, 22))
+    dx.use_pallas_tail = False
+    assert _boxes(dk, img) == _boxes(dx, img)
+
+
 def test_tail_kernel_node_values():
     """Kernel node values vs the XLA extraction+matmul on real planes."""
     from clfacedetection_tpu.detect.pyramid import PyramidDetector
