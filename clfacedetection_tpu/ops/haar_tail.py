@@ -19,10 +19,12 @@ the MXU do the arithmetic:
   loads + dynamic rolls (pltpu.roll handles the sub-tile offsets; Mosaic
   rejects unaligned dynamic loads/stores, so the chunk loop is unrolled
   with static store indices).
-* Patches are stored window-row-per-32-lane (K index = 32*dy + dx) and
-  hit the MXU as one [C, 768] x [768, n_nodes] f32 matmul against the
-  resident stencil (the same signed corner-weight matrix as the XLA
-  path, rows remapped); node values stream back to HBM per chunk.
+* Patches are stored one window row per lane group (K index =
+  lanes*dy + dx; lanes = 32, or 64 for windows wider than 31 px like
+  mcs_eyepair_big's 45x11) and hit the MXU as one [C, lanes*rows] x
+  [lanes*rows, n_nodes] f32 matmul against the resident stencil (the
+  same signed corner-weight matrix as the XLA path, rows remapped);
+  node values stream back to HBM per chunk.
 
 Replaces the reference's per-window per-stage scalar loops
 (clod.cl:52-80) at ~0.2 us/window all-nodes; votes / stage sums / CART
