@@ -952,9 +952,15 @@ class PyramidDetector:
             return dict(planes=planes, vnf=vnf, front=front.reshape(-1))
         return self._front_from_planes(planes, sq_hi, sq_lo)
 
-    def _front_from_planes(self, planes, sq_hi, sq_lo):
+    def _front_from_planes(self, planes, sq_hi, sq_lo, shape=None,
+                           visit=None):
+        """XLA front pass.  ``shape``/``visit`` default to the full
+        canvas grid and its baked scan lattice; the row-strip sharding
+        (parallel/strips.py) passes a strip-sized shape and its shard's
+        strip of the visit mask (as a traced operand)."""
         dtype = self.dtype
-        shape = (self.plan.canvas_h + 1, self.plan.canvas_w + 1)
+        if shape is None:
+            shape = (self.plan.canvas_h + 1, self.plan.canvas_w + 1)
         # variance map (equ rect = (1,1,w0-2,h0-2), tempcv.cpp:1276-1278)
         win_sum = self._rect_sum_map(planes["sum"], self.equ_y, self.equ_x,
                                      shape).astype(dtype)
@@ -970,7 +976,7 @@ class PyramidDetector:
                         jnp.ones_like(var))
 
         passes = self._front_maps(planes, vnf, shape)
-        front = jnp.asarray(self._visit)
+        front = jnp.asarray(self._visit) if visit is None else visit
         for p in passes:
             front = front & p
         out = dict(planes=planes, vnf=vnf, front=front.reshape(-1))

@@ -246,11 +246,15 @@ def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
     # in the process degrades ~800x (measured; see docs/PERF.md).
     visit_dev = np.asarray(visit_pad)
 
-    def run(planes):
+    def run(planes, visit=None):
+        """``visit`` overrides the baked lattice (same padded shape
+        [grid_h*bh, grid_w*bw] bool) — used by the row-strip sharding
+        (parallel/strips.py), where each shard passes its own strip of
+        the canvas visit mask to one shared kernel instance."""
         args = [planes["sum"], planes["sq_hi"], planes["sq_lo"]]
         if has_tilted:
             args.append(planes["tilted"])
-        args.append(visit_dev)
+        args.append(visit_dev if visit is None else visit)
         front, vnf = call(*args)
         return front[..., :Hv, :Wv], vnf[..., :Hv, :Wv]
 

@@ -1,3 +1,5 @@
 from .sharding import detect_sharded, gather_detections
+from .strips import StripShardedPyramidDetector
 
-__all__ = ["detect_sharded", "gather_detections"]
+__all__ = ["detect_sharded", "gather_detections",
+           "StripShardedPyramidDetector"]
