@@ -117,6 +117,24 @@ def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
         # convert moves after the subtract, costing one convert per rect.
         rd_f32_exact = 255 * h0 * (Wv + 1) < 2 ** 24
         dcache = {}
+        # optional second-level cache of the lane-rotated column slices
+        # d[:, x:x+bw]: Haar rects are nested, so ~13% of column slices
+        # within a stage repeat an (y1, y2, x) triple (frontalface_alt
+        # front-12 static count).  Bit-exact (caches identical values);
+        # off by default pending an on-chip measurement vs Mosaic's own
+        # CSE.  CLFD_FRONT_COLCACHE=1 enables.
+        colcache_on = int(os.environ.get("CLFD_FRONT_COLCACHE", "0"))
+        scache = {}
+
+        def colslice(d, dkey, x):
+            if not colcache_on:
+                return d[:, x:x + bw]
+            k2 = dkey + (int(x),)
+            v = scache.get(k2)
+            if v is None:
+                v = d[:, x:x + bw]
+                scache[k2] = v
+            return v
 
         def rect(scr, cy, cx):
             """Rect sum over the whole tile (4-corner signs + - - +).
@@ -136,7 +154,8 @@ def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
                     if rd_f32_exact:
                         d = d.astype(jnp.float32)
                     dcache[key] = d
-                out = d[:, cx[0]:cx[0] + bw] - d[:, cx[1]:cx[1] + bw]
+                out = (colslice(d, key, cx[0])
+                       - colslice(d, key, cx[1]))
                 return out if rd_f32_exact else out.astype(jnp.float32)
             return (scr[cy[0]:cy[0] + bh, cx[0]:cx[0] + bw]
                     - scr[cy[1]:cy[1] + bh, cx[1]:cx[1] + bw]
@@ -187,6 +206,7 @@ def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
             # scope the row-diff cache per stage: bounds live VMEM ranges
             if rd_mode < 2:
                 dcache.clear()
+                scache.clear()
             c0 = int(spec.stage_clf_ofs[st])
             cnt = int(spec.stage_clf_cnt[st])
             ssum = jnp.zeros((bh, bw), jnp.float32)
