@@ -310,6 +310,29 @@ class ScaleCascadeDetector:
         self._jit_detect = jax.jit(self._detect_device)
         self._jit_prep = None
         self._jit_scales = {}
+        self._scale_devices = None
+
+    # ------------------------------------------------------------------
+    def shard_scales(self, devices) -> "ScaleCascadeDetector":
+        """Split the pyramid's scales across ``devices`` (round-robin).
+
+        The scale-cascade analog of SURVEY.md section 2.3's
+        "splitting pyramid scales across devices": the shared per-scale
+        program (one jit cache entry, tables as runtime arguments) is
+        dispatched with scale ``i``'s operands committed to
+        ``devices[i % k]``, so the ~25 per-scale programs execute
+        concurrently across the mesh instead of queueing on one chip.
+        The integral planes are broadcast once per frame; each device
+        packs its own scales and the host merges in scale order, so
+        results are identical to the single-device path.  Enables the
+        unrolled dispatch path on any backend (CPU tests use the
+        virtual 8-device mesh)."""
+        devs = list(devices)
+        if not devs:
+            raise ValueError("need at least one device")
+        self._scale_devices = devs
+        self._use_unrolled = True
+        return self
 
     # ------------------------------------------------------------------
     # device program
@@ -688,11 +711,15 @@ class ScaleCascadeDetector:
         cache = getattr(self, "_xs_dev", None)
         if cache is None:
             cache = self._xs_dev = {}
-        xs = cache.get(i)
+        dev = (self._scale_devices[i % len(self._scale_devices)]
+               if self._scale_devices else None)
+        xs = cache.get((i, dev))
         if xs is None:
             xs = jax.tree_util.tree_map(lambda a: jnp.asarray(a[i]),
                                         self._scan_xs)
-            cache[i] = xs
+            if dev is not None:
+                xs = jax.device_put(xs, dev)
+            cache[(i, dev)] = xs
         return xs
 
     def _detect_unrolled(self, gray):
@@ -747,16 +774,33 @@ class ScaleCascadeDetector:
             self._jit_scales[key] = jits
         scale_jits, packer, acap = jits
         planes = self._jit_prep(jnp.asarray(gray, jnp.uint8))
+        devs = self._scale_devices
+        if devs:
+            # scale-split execution: broadcast the integral planes once,
+            # then commit scale i's dispatch to devices[i % k] — the
+            # shared program runs concurrently across the mesh
+            planes_d = [jax.device_put(planes, d) for d in devs]
         outs = []
         for i, j in enumerate(scale_jits):
-            outs.append(j(planes))
+            outs.append(j(planes_d[i % len(devs)] if devs else planes))
             if i % 8 == 7:
                 # throttle in-flight executions: each holds its gather
                 # temps in HBM until it retires, and block_until_ready
                 # does not reliably sync on this platform — a tiny
                 # readback is the only real barrier
                 np.asarray(outs[i]["n_surv"])
-        packed = np.asarray(packer(outs))
+        if devs:
+            # pack per device (a jit's operands must share a device),
+            # merge on host in scale order
+            packed = np.empty((self.n_scales, 2 + 2 * acap), np.int32)
+            per_dev = {}
+            for i in range(self.n_scales):
+                per_dev.setdefault(i % len(devs), []).append(i)
+            for scale_ids in per_dev.values():
+                packed[scale_ids] = np.asarray(
+                    packer([outs[i] for i in scale_ids]))
+        else:
+            packed = np.asarray(packer(outs))
         out = {"n_surv": packed[:, 0], "n_acc": packed[:, 1],
                "acc_y": packed[:, 2:2 + acap],
                "acc_x": packed[:, 2 + acap:2 + 2 * acap]}
