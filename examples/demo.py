@@ -118,6 +118,26 @@ def main():
     print(f"batched video ({img.shape[1]}x{img.shape[0]}, batch {B}): "
           f"{ms:.2f} ms/frame = {1000/ms:.1f} fps")
 
+    # intra-frame latency axis: canvas scan rows strip-sharded over the
+    # mesh (the reference CPU baseline's TBB strips, tempcv.cpp:1305-1311)
+    try:
+        import jax
+        from jax.sharding import Mesh
+        from clfacedetection_tpu.detect import PyramidDetector
+        from clfacedetection_tpu.parallel import StripShardedPyramidDetector
+        k = min(len(jax.devices()), 8)
+        pdet = PyramidDetector(spec, img.shape, min_size=msz)
+        ref_c, _ = pdet.candidates(img)
+        sdet = StripShardedPyramidDetector(
+            pdet, Mesh(np.array(jax.devices()[:k]), ("strips",)))
+        got_c, _ = sdet.candidates(img)
+        print(f"row-strip sharded ({k} strips): "
+              f"{'box-for-box MATCH' if np.array_equal(got_c, ref_c) else 'MISMATCH'}"
+              f" ({len(got_c)} candidates)")
+    except Exception as e:
+        print(f"row-strip sharded: FAILED ({type(e).__name__}: "
+              f"{str(e)[:120]})")
+
 
 if __name__ == "__main__":
     main()
