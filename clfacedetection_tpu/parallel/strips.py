@@ -71,7 +71,10 @@ class StripShardedPyramidDetector:
         self.det = det
         self.mesh = mesh
         self.axis = axis_name
-        self.k = int(mesh.size)
+        if axis_name not in mesh.shape:
+            raise ValueError(f"mesh has no axis {axis_name!r}: "
+                             f"{dict(mesh.shape)}")
+        self.k = int(mesh.shape[axis_name])
         if det.cap % self.k:
             raise ValueError(
                 f"det.cap={det.cap} not divisible by mesh size {self.k}")
