@@ -28,7 +28,7 @@ def test_scale_split_matches_single():
     assert ovf == ref_ovf
 
 
-@pytest.mark.slow
+@pytest.mark.exhaustive
 def test_scale_split_grouped_detection():
     spec = load_cascade("haarcascade_frontalface_default")
     frame = synth_face((96, 128), size=50.0, seed=4)
