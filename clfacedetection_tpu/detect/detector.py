@@ -332,6 +332,11 @@ class ScaleCascadeDetector:
             raise ValueError("need at least one device")
         self._scale_devices = devs
         self._use_unrolled = True
+        # the per-cap dispatch closures capture per-scale tables on
+        # their build-time devices — invalidate anything built before
+        # the split so the tables re-commit to the round-robin devices
+        self._jit_scales = {}
+        self._xs_dev = {}
         return self
 
     # ------------------------------------------------------------------
@@ -703,16 +708,17 @@ class ScaleCascadeDetector:
         _, out = jax.lax.scan(body, None, self._scan_xs)
         return out
 
-    def _xs_scale(self, i):
+    def _xs_scale(self, i, dev=None):
         """Scale ``i``'s table slice as device arrays — passed as jit
         *arguments* (safe; only closure-captured committed jax.Arrays
         poison the dispatch path, docs/PERF.md) so all scales share one
-        compiled program."""
+        compiled program.  ``dev`` commits the tables to a specific
+        device (scale-split execution); a jit's operands must share a
+        device, so callers whose other operands live on the default
+        device (e.g. find_biggest_object) must leave it None."""
         cache = getattr(self, "_xs_dev", None)
         if cache is None:
             cache = self._xs_dev = {}
-        dev = (self._scale_devices[i % len(self._scale_devices)]
-               if self._scale_devices else None)
         xs = cache.get((i, dev))
         if xs is None:
             xs = jax.tree_util.tree_map(lambda a: jnp.asarray(a[i]),
@@ -750,7 +756,9 @@ class ScaleCascadeDetector:
                 lambda planes, xs: self._per_scale(planes, xs))
 
             def mk(i):
-                xs_i = self._xs_scale(i)
+                devs_ = self._scale_devices
+                xs_i = self._xs_scale(
+                    i, devs_[i % len(devs_)] if devs_ else None)
                 return lambda planes: shared(planes, xs_i)
 
             acap = min(self.cap, 2048)

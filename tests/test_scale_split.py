@@ -28,6 +28,20 @@ def test_scale_split_matches_single():
     assert ovf == ref_ovf
 
 
+def test_scale_split_fbo_still_single_device():
+    """find_biggest_object keeps default-device placement after
+    shard_scales (its planes are not broadcast; mixed-device operands
+    would fail the dispatch)."""
+    spec = load_cascade("haarcascade_frontalface_default")
+    frame = synth_face((96, 128), size=50.0, seed=6)
+    ref = ScaleCascadeDetector(spec, (96, 128), max_stages=6) \
+        .find_biggest_object(frame, min_neighbors=1)
+    det = ScaleCascadeDetector(spec, (96, 128), max_stages=6)
+    det.shard_scales(jax.devices()[:8])
+    got = det.find_biggest_object(frame, min_neighbors=1)
+    assert np.array_equal(got, ref)
+
+
 @pytest.mark.exhaustive
 def test_scale_split_grouped_detection():
     spec = load_cascade("haarcascade_frontalface_default")
