@@ -44,7 +44,8 @@ from ..models.compile import (
 from ..models.spec import CascadeSpec
 from .grouping import group_rectangles
 
-__all__ = ["detect_multi_scale_reference", "RefWindowEvaluator"]
+__all__ = ["detect_multi_scale_reference", "RefWindowEvaluator",
+           "probe_window"]
 
 
 class RefWindowEvaluator:
@@ -101,6 +102,59 @@ class RefWindowEvaluator:
     def run(self, x: int, y: int) -> int:
         return self.run_sum(x, y)[0]
 
+    def trace(self, x: int, y: int):
+        """Per-stage breadcrumb trace of one window — the reusable form
+        of the reference's hardcoded debug probes (window (114,182) in
+        clod.cpp:673-675 / legacy.cpp:71-73; (14,0) in
+        tempcv.cpp:933-940): returns a dict with the window's vnf and,
+        per evaluated stage, (stage, stage_sum, threshold, passed), plus
+        the run_sum exit code.  Sequential cascades stop at the first
+        failing stage exactly like the evaluator; stage trees record
+        the DFS visit order."""
+        code, _ = self.run_sum(x, y)
+        if code == -1:
+            return dict(code=-1, vnf=None, stages=[])
+        cy = self.s.equ_corner_y + y
+        cx = self.s.equ_corner_x + x
+        win_sum = float(self.sum[cy[0], cx[0]]) \
+            - float(self.sum[cy[1], cx[1]]) \
+            - float(self.sum[cy[2], cx[2]]) \
+            + float(self.sum[cy[3], cx[3]])
+        win_sq = float(self.sqsum[cy[0], cx[0]]) \
+            - float(self.sqsum[cy[1], cx[1]]) \
+            - float(self.sqsum[cy[2], cx[2]]) \
+            + float(self.sqsum[cy[3], cx[3]])
+        mean = win_sum * self.s.inv_area
+        vnf = win_sq * self.s.inv_area - mean * mean
+        vnf = np.sqrt(vnf) if vnf >= 0.0 else 1.0
+        stages = []
+        if self.c.is_tree:
+            ptr = 0
+            while ptr is not None:
+                ss = self._stage_sum(ptr, vnf, x, y)
+                thr = float(self.c.stage_threshold[ptr])
+                stages.append((ptr, ss, thr, ss >= thr))
+                if ss >= thr:
+                    child = int(self.c.stage_child[ptr])
+                    if child == -1:
+                        break
+                    ptr = child
+                else:
+                    while ptr is not None \
+                            and int(self.c.stage_next[ptr]) == -1:
+                        p = int(self.c.stage_parent[ptr])
+                        ptr = p if p != -1 else None
+                    ptr = int(self.c.stage_next[ptr]) \
+                        if ptr is not None else None
+        else:
+            for i in range(self.c.spec.n_stages):
+                ss = self._stage_sum(i, vnf, x, y)
+                thr = float(self.c.stage_threshold[i])
+                stages.append((i, ss, thr, ss >= thr))
+                if ss < thr:
+                    break
+        return dict(code=code, vnf=float(vnf), stages=stages)
+
     def run_sum(self, x: int, y: int):
         """cvRunHaarClassifierCascadeSum: (code, stage_sum).  Codes: 1 pass,
         -i fail at stage i (stump/CART cascades), 0 fail (stage-tree
@@ -146,6 +200,20 @@ class RefWindowEvaluator:
                 if ss < float(self.c.stage_threshold[i]):
                     return -i, ss
             return 1, ss
+
+
+def probe_window(gray: np.ndarray, spec: CascadeSpec, x: int, y: int,
+                 scale: float = 1.0):
+    """One-call divergence-debugging probe (scale-cascade geometry):
+    evaluate the cascade on the single window rooted at original-image
+    position (x, y) with the features scaled by ``scale``, returning the
+    per-stage trace (see :meth:`RefWindowEvaluator.trace`).  The
+    reusable form of the reference's hardcoded window probes
+    (clod.cpp:673-675, tempcv.cpp:812-815,933-940)."""
+    c = compile_cascade(spec)
+    s, sq, t = _integrals(np.asarray(gray, np.uint8), c.has_tilted)
+    ev = RefWindowEvaluator(c, c.at_scale(float(scale)), s, sq, t)
+    return ev.trace(int(x), int(y))
 
 
 def _integrals(gray: np.ndarray, need_tilted: bool):
