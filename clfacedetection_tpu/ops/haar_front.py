@@ -229,7 +229,7 @@ def build_front_kernel(tables, spec, stage_thresholds, front_k: int,
 
         vnf_ref[...] = vnf
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_planes
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_planes
     if batch is None:
         grid = (grid_h, grid_w)
         in_specs.append(pl.BlockSpec((bh, bw), lambda i, j: (i, j),

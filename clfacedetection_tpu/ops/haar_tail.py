@@ -282,9 +282,9 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
     sten_spec = pl.BlockSpec((lanes * rows, nnb),
                              lambda *idx: (0, idx[len(grid) - 1]),
                              memory_space=pltpu.VMEM)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if tilted:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     in_specs.append(sten_spec)
     if tilted:
         in_specs.append(pl.BlockSpec((lanes * rows, nnb),
@@ -302,7 +302,7 @@ def build_tail_kernel(sten_rows: np.ndarray, plane_shape: Tuple[int, int],
         num_scalar_prefetch=3,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch,
     )
     oshape = ((capp_pad, nn_pad) if batch is None

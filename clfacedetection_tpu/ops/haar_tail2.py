@@ -300,8 +300,8 @@ def build_tail2_kernel(sten_rows: np.ndarray,      # [32*rows, n_cols]
     grid = (nch_total,) if batch is None else (batch, nch_total)
     const_idx = (lambda *idx: (0, 0))
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),       # plane
-        pl.BlockSpec(memory_space=pltpu.ANY),       # vnf
+        pl.BlockSpec(memory_space=pl.ANY),       # plane
+        pl.BlockSpec(memory_space=pl.ANY),       # vnf
         pl.BlockSpec((32 * rows, nn_pad), const_idx,
                      memory_space=pltpu.VMEM),      # stencil (resident)
         pl.BlockSpec((8, nn_pad), const_idx,
@@ -318,7 +318,7 @@ def build_tail2_kernel(sten_rows: np.ndarray,      # [32*rows, n_cols]
         num_scalar_prefetch=5,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch,
     )
     oshape = ((capp_pad, 128) if batch is None

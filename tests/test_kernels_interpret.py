@@ -1,0 +1,113 @@
+"""Pallas-kernel equivalence WITHOUT hardware: interpret-mode runs on CPU.
+
+The TPU suites (test_front_kernel / test_tail_kernel, CLFD_TEST_TPU=1)
+remain the authoritative hardware checks; this lane runs the same
+kernels through ``pallas_call(interpret=True)`` against the XLA
+specification paths so kernel-logic regressions surface in the normal
+CPU suite — no tunnel required.  Shapes are kept tiny: interpret mode
+executes the grid serially on CPU."""
+
+import os
+from unittest import mock
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+import clfacedetection_tpu.ops.haar_front as hf
+import clfacedetection_tpu.ops.haar_tail as ht
+import clfacedetection_tpu.ops.haar_tail2 as ht2
+from clfacedetection_tpu.detect.pyramid import PyramidDetector
+from clfacedetection_tpu.models import load_cascade
+from clfacedetection_tpu.utils import synth_face
+
+_ORIG = pl.pallas_call
+
+
+def _interp(*a, **k):
+    k["interpret"] = True
+    return _ORIG(*a, **k)
+
+
+def _patched():
+    return (mock.patch.object(hf.pl, "pallas_call", _interp),
+            mock.patch.object(ht.pl, "pallas_call", _interp),
+            mock.patch.object(ht2.pl, "pallas_call", _interp))
+
+
+def _front_pair(cascade, shape, seed, **kw):
+    spec = load_cascade(cascade)
+    frame = synth_face(shape, size=min(shape) * 0.45, seed=seed)
+    g = jnp.asarray(frame, jnp.uint8)
+    ref = jax.jit(PyramidDetector(spec, shape, use_pallas_front=False,
+                                  **kw)._front_device)(g)
+    a, b, c = _patched()
+    with a, b, c:
+        det = PyramidDetector(spec, shape, use_pallas_front=True, **kw)
+        got = det._front_device(g)
+    return ref, got
+
+
+def test_front_interpret_stumps():
+    ref, got = _front_pair("haarcascade_frontalface_default", (96, 128),
+                           seed=3, front_stages=3, max_stages=4)
+    assert jnp.array_equal(ref["front"], got["front"])
+    assert jnp.array_equal(ref["vnf"].astype(jnp.float32), got["vnf"])
+
+
+def test_front_interpret_cart_tilted():
+    """CART nodes + tilted features through the kernel's 4-corner path."""
+    ref, got = _front_pair("haarcascade_mcs_nose", (80, 96),
+                           seed=11, front_stages=4, max_stages=4)
+    assert jnp.array_equal(ref["front"], got["front"])
+    assert jnp.array_equal(ref["vnf"].astype(jnp.float32), got["vnf"])
+
+
+def test_front_interpret_colcache():
+    """CLFD_FRONT_COLCACHE=1 must be bit-identical (it caches identical
+    slice values)."""
+    with mock.patch.dict(os.environ, {"CLFD_FRONT_COLCACHE": "1"}):
+        ref, got = _front_pair("haarcascade_frontalface_alt", (96, 128),
+                               seed=4, front_stages=12)
+    assert jnp.array_equal(ref["front"], got["front"])
+    assert jnp.array_equal(ref["vnf"].astype(jnp.float32), got["vnf"])
+
+
+@pytest.mark.slow
+def test_pipeline_interpret_tail_accept_set():
+    """Full interpret pipeline (front kernel -> compaction -> tail
+    kernel walk) reproduces the XLA pipeline's accepted windows, on a
+    truncated cascade so the accept set is non-empty."""
+    spec = load_cascade("haarcascade_frontalface_default")
+    shape = (96, 128)
+    frame = synth_face(shape, size=44.0, seed=7)
+    g = jnp.asarray(frame, jnp.uint8)
+    det_ref = PyramidDetector(spec, shape, front_stages=3, cap=512,
+                              max_stages=8, use_pallas_front=False)
+    ref = jax.jit(det_ref._detect_device)(g)
+    ok = np.asarray(ref["ok"])
+    sy, sx = np.asarray(ref["sy"]), np.asarray(ref["sx"])
+    want = set(zip(sy[ok].tolist(), sx[ok].tolist()))
+    assert want, "fixture must accept some windows"
+
+    a, b, c = _patched()
+    with a, b, c:
+        det = PyramidDetector(spec, shape, front_stages=3, cap=512,
+                              max_stages=8, use_pallas_front=True)
+        det.use_pallas_tail = True
+        det.use_pallas_tail2 = (det.tables.T == 1 and not det.is_tree
+                                and not det.compiled.has_tilted
+                                and det.w0 + 1 <= 32
+                                and det.front_k < det.n_stages)
+        out = det._detect_device(g)
+    assert "packed" in out, "kernel tail must produce the packed readback"
+    p = np.asarray(out["packed"])
+    acap = (len(p) - 2) // 2
+    n_acc = int(p[1])
+    assert n_acc <= acap
+    got = set(zip(p[2:2 + n_acc].tolist(),
+                  p[2 + acap:2 + acap + n_acc].tolist()))
+    assert got == want
