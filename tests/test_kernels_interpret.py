@@ -77,6 +77,30 @@ def test_front_interpret_colcache():
 
 
 @pytest.mark.slow
+def test_strips_interpret_pallas_front():
+    """The row-strip sharding's Pallas path (strip front kernel with the
+    per-shard visit mask as a runtime operand) under shard_map on the
+    virtual mesh, validated chip-free in interpret mode."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from jax.sharding import Mesh
+    from clfacedetection_tpu.parallel import StripShardedPyramidDetector
+
+    spec = load_cascade("haarcascade_frontalface_default")
+    frame = synth_face((96, 128), size=40.0, seed=3)
+    ref, _ = PyramidDetector(spec, (96, 128), max_stages=6, cap=256,
+                             use_pallas_front=False).candidates(frame)
+    a, b, c = _patched()
+    with a, b, c:
+        det = PyramidDetector(spec, (96, 128), max_stages=6, cap=256,
+                              use_pallas_front=True)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("strips",))
+        got, _ = StripShardedPyramidDetector(det, mesh).candidates(frame)
+    assert len(ref) > 0
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.slow
 def test_pipeline_interpret_tail_accept_set():
     """Full interpret pipeline (front kernel -> compaction -> tail
     kernel walk) reproduces the XLA pipeline's accepted windows, on a
