@@ -76,6 +76,41 @@ def test_front_interpret_colcache():
     assert jnp.array_equal(ref["vnf"].astype(jnp.float32), got["vnf"])
 
 
+def _force_kernel_tails(det):
+    """Re-derive the TPU-only tail eligibility (the constructor gates on
+    jax.default_backend() == 'tpu', which is 'cpu' here)."""
+    det.use_pallas_tail = True
+    det.use_pallas_tail2 = (det.tables.T == 1 and not det.is_tree
+                            and not det.compiled.has_tilted
+                            and det.w0 + 1 <= 32
+                            and det.front_k < det.n_stages)
+
+
+@pytest.mark.slow
+def test_batched_kernel_grid_interpret():
+    """The batch-gridded front kernel + batched tail (the bench's actual
+    device path) against the per-frame XLA pipeline, chip-free."""
+    from clfacedetection_tpu.runtime import BatchedPyramidDetector
+
+    spec = load_cascade("haarcascade_frontalface_default")
+    frames = np.stack([synth_face((96, 128), size=40.0, seed=i)
+                       for i in (3, 9)])
+    ref_det = PyramidDetector(spec, (96, 128), max_stages=6, cap=256,
+                              use_pallas_front=False)
+    a, b, c = _patched()
+    with a, b, c:
+        bdet = BatchedPyramidDetector(spec, (96, 128), 2, max_stages=6,
+                                      cap=256, use_pallas_front=True)
+        _force_kernel_tails(bdet.det)
+        bdet._build_step()
+        res = bdet.detect(frames, min_neighbors=0)
+    for i in range(2):
+        ref, _ = ref_det.candidates(frames[i])
+        assert len(ref) > 0
+        assert np.array_equal(np.sort(res[i].candidates, 0),
+                              np.sort(np.asarray(ref), 0)), f"frame {i}"
+
+
 @pytest.mark.slow
 def test_strips_interpret_pallas_front():
     """The row-strip sharding's Pallas path (strip front kernel with the
@@ -121,11 +156,7 @@ def test_pipeline_interpret_tail_accept_set():
     with a, b, c:
         det = PyramidDetector(spec, shape, front_stages=3, cap=512,
                               max_stages=8, use_pallas_front=True)
-        det.use_pallas_tail = True
-        det.use_pallas_tail2 = (det.tables.T == 1 and not det.is_tree
-                                and not det.compiled.has_tilted
-                                and det.w0 + 1 <= 32
-                                and det.front_k < det.n_stages)
+        _force_kernel_tails(det)
         out = det._detect_device(g)
     assert "packed" in out, "kernel tail must produce the packed readback"
     p = np.asarray(out["packed"])
