@@ -86,7 +86,7 @@ def _force_kernel_tails(det):
                             and det.front_k < det.n_stages)
 
 
-@pytest.mark.slow
+@pytest.mark.exhaustive
 def test_batched_kernel_grid_interpret():
     """The batch-gridded front kernel + batched tail (the bench's actual
     device path) against the per-frame XLA pipeline, chip-free."""
