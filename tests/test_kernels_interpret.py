@@ -86,6 +86,30 @@ def _force_kernel_tails(det):
                             and det.front_k < det.n_stages)
 
 
+@pytest.mark.slow
+def test_roc_interpret_levels_weights():
+    """ROC output through the in-kernel walk (exit level + stage sum
+    computed on-'chip', packed single-array readback) vs the XLA path."""
+    spec = load_cascade("haarcascade_frontalface_default")
+    frame = synth_face((96, 128), size=44.0, seed=7)
+    kw = dict(front_stages=3, cap=512, max_stages=8, output_levels=True)
+    b_ref, lv_ref, w_ref, _ = PyramidDetector(
+        spec, (96, 128), use_pallas_front=False,
+        **kw).candidates_with_levels(frame)
+    a, b_, c = _patched()
+    with a, b_, c:
+        det = PyramidDetector(spec, (96, 128), use_pallas_front=True, **kw)
+        _force_kernel_tails(det)
+        b, lv, w, _ = det.candidates_with_levels(frame)
+    assert len(b_ref) > 0
+    o_ref = np.lexsort(np.asarray(b_ref).T)
+    o = np.lexsort(np.asarray(b).T)
+    assert np.array_equal(np.asarray(b)[o], np.asarray(b_ref)[o_ref])
+    assert np.array_equal(np.asarray(lv)[o], np.asarray(lv_ref)[o_ref])
+    assert np.allclose(np.asarray(w)[o], np.asarray(w_ref)[o_ref],
+                       rtol=1e-6)
+
+
 @pytest.mark.exhaustive
 def test_batched_kernel_grid_interpret():
     """The batch-gridded front kernel + batched tail (the bench's actual
