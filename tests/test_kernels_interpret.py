@@ -86,7 +86,7 @@ def _force_kernel_tails(det):
                             and det.front_k < det.n_stages)
 
 
-@pytest.mark.slow
+@pytest.mark.exhaustive
 def test_roc_interpret_levels_weights():
     """ROC output through the in-kernel walk (exit level + stage sum
     computed on-'chip', packed single-array readback) vs the XLA path."""
