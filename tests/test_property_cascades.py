@@ -158,3 +158,18 @@ def test_random_cascade_roundtrip_and_parity(case):
     r = set(map(tuple, np.asarray(ref).tolist()))
     assert g == r, (f"{len(g - r)} extra, {len(r - g)} missing "
                     f"of {len(r)} oracle boxes")
+
+    # (c) the scale-cascade engine too, on a couple of cases (the mode
+    # rescales features with cvRound per scale — different rounding
+    # corners than the resize pyramid)
+    if case["seed"] in (22, 55):
+        from clfacedetection_tpu.detect import ScaleCascadeDetector
+        sc = ScaleCascadeDetector(spec, img.shape, dtype=jnp.float64,
+                                  min_size=(18, 18))
+        got_sc, ovf = sc.candidates(img)
+        assert not ovf
+        ref_sc = detect_multi_scale_reference(img, spec, min_neighbors=0,
+                                              min_size=(18, 18),
+                                              mode="scale_cascade")
+        assert (set(map(tuple, np.asarray(got_sc).tolist()))
+                == set(map(tuple, np.asarray(ref_sc).tolist())))
