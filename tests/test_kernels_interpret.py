@@ -159,6 +159,36 @@ def test_strips_interpret_pallas_front():
     assert np.array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.exhaustive
+def test_wide_window_64lane_tail_interpret():
+    """The 45x11-window cascade takes the 64-lane patch-packing path of
+    the v1 stencil tail (w0+1 > 32) — previously TPU-only coverage."""
+    spec = load_cascade("haarcascade_mcs_eyepair_big")
+    assert spec.window_w + 1 > 32
+    frame = synth_face((72, 120), size=50.0, seed=5)
+    g = jnp.asarray(frame, jnp.uint8)
+    ref_det = PyramidDetector(spec, (72, 120), front_stages=2, cap=512,
+                              max_stages=6, use_pallas_front=False)
+    ref = jax.jit(ref_det._detect_device)(g)
+    ok = np.asarray(ref["ok"])
+    want = set(zip(np.asarray(ref["sy"])[ok].tolist(),
+                   np.asarray(ref["sx"])[ok].tolist()))
+    assert want, "fixture must accept some windows"
+    a, b, c = _patched()
+    with a, b, c:
+        det = PyramidDetector(spec, (72, 120), front_stages=2, cap=512,
+                              max_stages=6, use_pallas_front=True)
+        det.use_pallas_tail = True      # wide window -> v1 64-lane path
+        det.use_pallas_tail2 = False
+        out = det._detect_device(g)
+    p = np.asarray(out["packed"])
+    acap = (len(p) - 2) // 2
+    n_acc = int(p[1])
+    got = set(zip(p[2:2 + n_acc].tolist(),
+                  p[2 + acap:2 + acap + n_acc].tolist()))
+    assert got == want
+
+
 @pytest.mark.slow
 def test_pipeline_interpret_tail_accept_set():
     """Full interpret pipeline (front kernel -> compaction -> tail
