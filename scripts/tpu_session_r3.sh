@@ -28,6 +28,8 @@ T=3000 run tpu_modes      env CLFD_TEST_TPU=1 python -m pytest \
 # (CPU-measured: fk9=30040 fk10=18389 fk11=11544 on the bench scene)
 T=2400 run fk_sweep       env CLFD_PROF_FKS=9,10,11,12 CLFD_PROF_CAP=32768 \
                               python scripts/prof_r3.py
+T=1800 run fk8_cap64k     env CLFD_PROF_FKS=8 CLFD_PROF_CAP=65536 \
+                              python scripts/prof_r3.py
 # column-slice cache A/B at the current default depth
 T=1200 run colcache_off   env CLFD_PROF_FKS=12 python scripts/prof_r3.py
 T=1800 run colcache_on    env CLFD_FRONT_COLCACHE=1 CLFD_PROF_FKS=12 \
