@@ -190,6 +190,35 @@ def test_wide_window_64lane_tail_interpret():
 
 
 @pytest.mark.slow
+def test_tilted_tail_interpret():
+    """Tilted cascade through the v1 tail (second RSAT band + tilted
+    corner-corrected stencil) — previously TPU-only coverage."""
+    spec = load_cascade("haarcascade_mcs_nose")
+    frame = synth_face((80, 96), size=36.0, seed=11)
+    g = jnp.asarray(frame, jnp.uint8)
+    ref_det = PyramidDetector(spec, (80, 96), front_stages=2, cap=512,
+                              max_stages=5, use_pallas_front=False)
+    ref = jax.jit(ref_det._detect_device)(g)
+    ok = np.asarray(ref["ok"])
+    want = set(zip(np.asarray(ref["sy"])[ok].tolist(),
+                   np.asarray(ref["sx"])[ok].tolist()))
+    assert want, "fixture must accept some windows"
+    a, b, c = _patched()
+    with a, b, c:
+        det = PyramidDetector(spec, (80, 96), front_stages=2, cap=512,
+                              max_stages=5, use_pallas_front=True)
+        det.use_pallas_tail = True   # tilted -> v1 with the RSAT band
+        det.use_pallas_tail2 = False
+        out = det._detect_device(g)
+    p = np.asarray(out["packed"])
+    acap = (len(p) - 2) // 2
+    n_acc = int(p[1])
+    got = set(zip(p[2:2 + n_acc].tolist(),
+                  p[2 + acap:2 + acap + n_acc].tolist()))
+    assert got == want
+
+
+@pytest.mark.slow
 def test_pipeline_interpret_tail_accept_set():
     """Full interpret pipeline (front kernel -> compaction -> tail
     kernel walk) reproduces the XLA pipeline's accepted windows, on a
