@@ -189,7 +189,7 @@ def test_wide_window_64lane_tail_interpret():
     assert got == want
 
 
-@pytest.mark.slow
+@pytest.mark.exhaustive
 def test_tilted_tail_interpret():
     """Tilted cascade through the v1 tail (second RSAT band + tilted
     corner-corrected stencil) — previously TPU-only coverage."""
