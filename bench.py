@@ -23,9 +23,34 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_FPS = 2000.0
 
 
+def _device_reachable(timeout_s: float = 180.0) -> bool:
+    """Probe jax backend init in a CHILD process: when the axon tunnel
+    is down, an in-process jax.devices() hangs indefinitely (it does not
+    raise), which would turn this bench into a silent hang.  The child
+    is killable on timeout."""
+    import subprocess
+    code = ("import jax, numpy as np, jax.numpy as jnp; "
+            "print(np.asarray(jnp.arange(4) * 2))")
+    try:
+        return subprocess.run([sys.executable, "-c", code],
+                              capture_output=True,
+                              timeout=timeout_s).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/root/.cache/jax_comp")
+    if not _device_reachable():
+        # honest fast-fail: no device, no number (docs/PERF.md: the
+        # tunnel has measured outages of >11 h)
+        print(json.dumps({
+            "metric": "1080p_frontalface_alt_detect_fps_per_chip",
+            "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
+            "error": "tpu_tunnel_unreachable",
+        }))
+        return
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir",
