@@ -71,7 +71,7 @@ def main() -> None:
     best_fps = 0.0
     best_cfg = None
     for batch in (int(v) for v in
-                  os.environ.get("CLFD_BENCH_BATCHES", "8,16").split(",")):
+                  os.environ.get("CLFD_BENCH_BATCHES", "8,16,32").split(",")):
         # one failing config (OOM, tunnel hiccup mid-compile) must not
         # zero the headline: the remaining configs still score
         try:

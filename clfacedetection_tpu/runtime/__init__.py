@@ -1,4 +1,5 @@
-from .batch import BatchedPyramidDetector
+from .batch import BatchedPyramidDetector, MultiCascadeBatchedDetector
 from .mesh import data_parallel_mesh
 
-__all__ = ["BatchedPyramidDetector", "data_parallel_mesh"]
+__all__ = ["BatchedPyramidDetector", "MultiCascadeBatchedDetector",
+           "data_parallel_mesh"]

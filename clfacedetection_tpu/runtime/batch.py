@@ -28,7 +28,7 @@ from ..detect.grouping import group_rectangles
 from ..detect.pyramid import PyramidDetector
 from ..models.spec import CascadeSpec
 
-__all__ = ["BatchedPyramidDetector"]
+__all__ = ["BatchedPyramidDetector", "MultiCascadeBatchedDetector"]
 
 
 class BatchedPyramidDetector:
@@ -198,3 +198,189 @@ class BatchedPyramidDetector:
                                            candidates=cand,
                                            survivor_overflow=overflow))
         return results
+
+
+class MultiCascadeBatchedDetector:
+    """Several cascades over one frame batch in ONE compiled program.
+
+    BASELINE config 5 (batched video with profileface + upperbody +
+    fullbody): the reference would run ``cvHaarDetectObjects`` once per
+    cascade per frame (main.cpp:72-97 times exactly one such call); the
+    TPU-native form fuses all K cascades' pyramids into a single jitted
+    step over the [B, H, W] batch — one dispatch, one sharded program
+    under a mesh, and (when every cascade takes the packed-tail path)
+    ONE stacked [B, K, W] readback so K cascades cost one tunnel sync,
+    not K.
+
+    Each cascade keeps its own :class:`PyramidDetector` (window sizes
+    differ, so canvases, scan lattices, and survivor caps are
+    per-cascade); the frame batch is the shared input, uploaded once.
+    """
+
+    def __init__(self, specs: List[CascadeSpec],
+                 image_shape: Tuple[int, int], batch: int,
+                 mesh: Optional[Mesh] = None,
+                 axis_name: str = "data", **knobs):
+        if not specs:
+            raise ValueError("need at least one cascade")
+        self.batch = int(batch)
+        self.mesh = mesh
+        self.axis_name = axis_name
+        if mesh is not None and batch % mesh.size != 0:
+            raise ValueError(f"batch {batch} not divisible by mesh "
+                             f"size {mesh.size}")
+        # subs hold per-cascade state (plan, caps, _finish); their own
+        # jit steps are never compiled — the combined step below is the
+        # only program
+        self.subs = [BatchedPyramidDetector(spec, image_shape, batch,
+                                            mesh=None, **knobs)
+                     for spec in specs]
+        self.names = [getattr(s, "name", None) or f"cascade{i}"
+                      for i, s in enumerate(specs)]
+        self._active = [k for k, s in enumerate(self.subs)
+                        if s.det.n_levels > 0]
+        self._in_sharding = (NamedSharding(mesh, P(axis_name))
+                             if mesh is not None else None)
+        self._build_step()
+
+    def _build_step(self):
+        dets = [self.subs[k].det for k in self._active]
+
+        def step(frames):
+            outs = []
+            for det in dets:
+                f = det._front_device_batch(frames)
+                surv_idx, n_surv = jax.vmap(det._compact_device)(
+                    f["front"])
+                outs.append(det._tail_device_batch(
+                    f["planes"], f["vnf"], surv_idx, n_surv))
+            res = {"outs": outs}
+            if outs and all("packed" in o for o in outs):
+                # fuse K packed buffers into one [B, K, Wmax] array so
+                # the host pays ONE ~24ms tunnel sync for all cascades
+                ws = [int(o["packed"].shape[1]) for o in outs]
+                w = max(ws)
+                res["packed_all"] = jnp.stack(
+                    [jnp.pad(o["packed"], ((0, 0), (0, w - wk)))
+                     for o, wk in zip(outs, ws)], axis=1)
+            return res
+
+        if self.mesh is not None:
+            import inspect
+            try:
+                from jax import shard_map
+            except ImportError:        # older jax
+                from jax.experimental.shard_map import shard_map
+            spec = P(self.axis_name)
+            kw = {}
+            params = inspect.signature(shard_map).parameters
+            for name in ("check_rep", "check_vma"):
+                if name in params:
+                    kw[name] = False
+                    break
+            self._jit_step = jax.jit(shard_map(
+                step, mesh=self.mesh, in_specs=spec, out_specs=spec,
+                **kw))
+        else:
+            self._jit_step = jax.jit(step)
+
+    def put(self, frames: np.ndarray) -> jax.Array:
+        frames = jnp.asarray(frames, jnp.uint8)
+        if self._in_sharding is not None:
+            frames = jax.device_put(frames, self._in_sharding)
+        return frames
+
+    def run_device(self, frames):
+        """The compiled [B,H,W] -> K-cascade survivors step."""
+        return self._jit_step(frames)
+
+    def _read(self, dev):
+        """Per-active-cascade (packed, n_surv) with one sync when fused."""
+        if "packed_all" in dev:
+            # de-slice widths from the per-cascade buffers' STATIC shapes
+            # (shape metadata costs no transfer) — never from detector
+            # state, which a mid-stream cap regrowth may have rebuilt
+            # after this dev dict was enqueued
+            ws = [int(o["packed"].shape[1]) for o in dev["outs"]]
+            p_all = np.asarray(dev["packed_all"])   # ONE tunnel readback
+            packed = [p_all[:, j, :w] for j, w in enumerate(ws)]
+            return packed, [p[:, 0] for p in packed]
+        reads = [BatchedPyramidDetector._read_counts(o)
+                 for o in dev["outs"]]
+        return [r[0] for r in reads], [r[1] for r in reads]
+
+    def _caps(self):
+        return [self.subs[k].det.cap for k in self._active]
+
+    def detect(self, frames: np.ndarray,
+               min_neighbors: int = 3) -> List[List[DetectionResult]]:
+        """Detect with every cascade; returns results[k][b] indexed by
+        cascade then frame (cascades with no pyramid levels at this
+        image size return empties)."""
+        n = len(frames)
+        if not self._active:
+            return [self._empty_results(n) for _ in self.subs]
+        dev_frames = self.put(frames)
+        dev = self.run_device(dev_frames)
+        packed, n_surv = self._read(dev)
+        # per-cascade survivor-cap auto-growth: grow only the cascades
+        # that overflowed, rebuild the fused step once, re-run
+        while True:
+            grew = False
+            for j, k in enumerate(self._active):
+                det = self.subs[k].det
+                if bool(np.any(n_surv[j] > det.cap)) \
+                        and det.cap < det.n_visit:
+                    det.cap = min(det.cap * 4, det.n_visit)
+                    grew = True
+            if not grew:
+                break
+            self._build_step()
+            dev = self.run_device(dev_frames)
+            packed, n_surv = self._read(dev)
+        return self._finish_all(n, dev, packed, n_surv, min_neighbors,
+                                self._caps())
+
+    def _finish_all(self, n, dev, packed, n_surv, min_neighbors, caps):
+        results = [self._empty_results(n) for _ in self.subs]
+        for j, k in enumerate(self._active):
+            results[k] = self.subs[k]._finish(
+                n, dev["outs"][j], packed[j], n_surv[j], min_neighbors,
+                caps[j])
+        return results
+
+    def _empty_results(self, n):
+        empty = np.zeros((0, 4), np.int32)
+        return [DetectionResult(empty, np.zeros(0, np.int32), empty,
+                                False) for _ in range(n)]
+
+    def detect_stream(self, batches, min_neighbors: int = 3,
+                      depth: int = 2):
+        """Pipelined multi-cascade detection over [B, H, W] batches.
+
+        Yields one ``results[k][b]`` per input batch, in order.  Caps in
+        effect at enqueue time are recorded per cascade: a later batch's
+        overflow may grow a cap mid-stream, and an in-flight batch
+        computed at the old cap must be judged against that old cap
+        (otherwise silently truncated survivors would be accepted)."""
+        from collections import deque
+        q = deque()
+        for frames in batches:
+            q.append((frames, self.run_device(self.put(frames)),
+                      self._caps()))
+            if len(q) >= depth:
+                yield self._drain(*q.popleft(), min_neighbors)
+        while q:
+            yield self._drain(*q.popleft(), min_neighbors)
+
+    def _drain(self, frames, dev, caps, min_neighbors):
+        n = len(frames)
+        if not self._active:
+            return [self._empty_results(n) for _ in self.subs]
+        packed, n_surv = self._read(dev)
+        for j, k in enumerate(self._active):
+            det = self.subs[k].det
+            if bool(np.any(n_surv[j] > caps[j])) and caps[j] < det.n_visit:
+                return self.detect(frames, min_neighbors)
+        return self._finish_all(n, dev, packed, n_surv, min_neighbors,
+                                caps)

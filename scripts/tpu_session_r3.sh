@@ -37,6 +37,8 @@ T=1800 run colcache_on    env CLFD_FRONT_COLCACHE=1 CLFD_PROF_FKS=12 \
 
 # scale-cascade steady-state table (VGA + 1080p) for docs/PERF.md
 T=3000 run scale_cascade  python scripts/prof_scale_cascade.py
+# BASELINE config 5: fused 3-cascade batch vs 3 separate runs
+T=3000 run multi_cascade  python scripts/prof_multi_cascade.py
 # strips program on the real chip (1-strip mesh == unsharded check)
 T=2400 run strips         python scripts/prof_strips.py
 
@@ -46,6 +48,5 @@ T=2400 run bench_fk10     env CLFD_BENCH_FRONT=10 CLFD_BENCH_CAP=32768 \
                               python bench.py
 T=2400 run bench_fk9      env CLFD_BENCH_FRONT=9 CLFD_BENCH_CAP=65536 \
                               python bench.py
-T=2400 run bench_b32      env CLFD_BENCH_BATCHES=16,32 python bench.py
 
 echo "=== done ($(date +%H:%M:%S)); logs in $L ==="
