@@ -137,6 +137,22 @@ class CascadeClassifier:
             **knobs)
         return res.boxes
 
+    def detect_multi_scale2(self, image,
+                            scale_factor: float = 1.1,
+                            min_neighbors: int = 3,
+                            flags: int = 0,
+                            min_size: Tuple[int, int] = (0, 0),
+                            max_size: Optional[Tuple[int, int]] = None,
+                            **knobs):
+        """cv2's detectMultiScale2 overload: returns (boxes,
+        num_detections), where num_detections[i] is the neighbor count
+        of grouped box i (the rweights output of groupRectangles —
+        cf. the reference grouping's class counts, tempcv.cpp:236-258)."""
+        res = self.detect_multi_scale_full(
+            image, scale_factor, min_neighbors, flags, min_size, max_size,
+            **knobs)
+        return res.boxes, res.neighbors
+
     def detect_multi_scale3(self, image,
                             scale_factor: float = 1.1,
                             min_neighbors: int = 3,

@@ -25,6 +25,16 @@ def test_detect_multi_scale_finds_face(image):
     assert abs((x + w / 2) - 80) < 15 and abs((y + h / 2) - 60) < 15
 
 
+def test_detect_multi_scale2_neighbor_counts(image):
+    """The (boxes, num_detections) overload: same boxes as
+    detect_multi_scale, counts >= min_neighbors per grouped box."""
+    clf = CascadeClassifier("haarcascade_frontalface_default")
+    boxes, counts = clf.detect_multi_scale2(image, min_neighbors=1)
+    ref = clf.detect_multi_scale(image, min_neighbors=1)
+    assert np.array_equal(boxes, ref)
+    assert len(counts) == len(boxes) and np.all(counts >= 1)
+
+
 def test_bgr_input(image):
     bgr = np.stack([image] * 3, axis=-1)
     clf = CascadeClassifier("haarcascade_frontalface_default")
