@@ -118,6 +118,29 @@ def main():
     print(f"batched video ({img.shape[1]}x{img.shape[0]}, batch {B}): "
           f"{ms:.2f} ms/frame = {1000/ms:.1f} fps")
 
+    # BASELINE config 5 analog: several cascades over the same batch in
+    # one fused program (the reference times one cvHaarDetectObjects
+    # call per cascade, main.cpp:72-97)
+    try:
+        from clfacedetection_tpu.runtime import MultiCascadeBatchedDetector
+        multi_names = ["haarcascade_frontalface_default",
+                       "haarcascade_profileface"]
+        multi = MultiCascadeBatchedDetector(
+            [load_cascade(nm) for nm in multi_names], img.shape, B,
+            min_size=msz)
+        multi.detect(frames, min_neighbors=mn)  # warm
+        t.start()
+        for _ in range(n):
+            res = multi.detect(frames, min_neighbors=mn)
+        ms = t.get() / (n * B)
+        counts = ", ".join(f"{nm.split('_', 1)[1]}={len(res[k][0].boxes)}"
+                           for k, nm in enumerate(multi_names))
+        print(f"multi-cascade fused (x{len(multi_names)}, batch {B}): "
+              f"{ms:.2f} ms/frame = {1000/ms:.1f} fps   [{counts}]")
+    except Exception as e:
+        print(f"multi-cascade fused: FAILED ({type(e).__name__}: "
+              f"{str(e)[:120]})")
+
     # intra-frame latency axis: canvas scan rows strip-sharded over the
     # mesh (the reference CPU baseline's TBB strips, tempcv.cpp:1305-1311)
     try:
