@@ -135,6 +135,42 @@ def test_batched_kernel_grid_interpret():
                               np.sort(np.asarray(ref), 0)), f"frame {i}"
 
 
+@pytest.mark.exhaustive
+def test_multi_cascade_fused_readback_interpret():
+    """The multi-cascade fused single-array readback (``packed_all``)
+    exists only when every cascade takes the kernel-tail path — on CPU
+    the XLA tail carries no packed buffer, so this TPU-only branch is
+    validated chip-free: the stacked K-cascade readback must de-slice to
+    the same boxes as the per-frame XLA pipelines."""
+    from clfacedetection_tpu.runtime import MultiCascadeBatchedDetector
+
+    names = ["haarcascade_frontalface_default", "haarcascade_profileface"]
+    specs = [load_cascade(n) for n in names]
+    frames = np.stack([synth_face((96, 128), size=40.0, seed=i)
+                       for i in (3, 9)])
+    refs = [PyramidDetector(s, (96, 128), max_stages=6, cap=256,
+                            use_pallas_front=False) for s in specs]
+    a, b, c = _patched()
+    with a, b, c:
+        multi = MultiCascadeBatchedDetector(specs, (96, 128), 2,
+                                            max_stages=6, cap=256,
+                                            use_pallas_front=True)
+        for k in multi._active:
+            _force_kernel_tails(multi.subs[k].det)
+        multi._build_step()
+        shapes = jax.eval_shape(multi._jit_step,
+                                jnp.zeros((2, 96, 128), jnp.uint8))
+        assert "packed_all" in shapes, "fused readback path not taken"
+        res = multi.detect(frames, min_neighbors=0)
+    for k, name in enumerate(names):
+        for i in range(2):
+            ref, _ = refs[k].candidates(frames[i])
+            assert len(ref) > 0
+            assert np.array_equal(
+                np.sort(res[k][i].candidates, 0),
+                np.sort(np.asarray(ref), 0)), (name, i)
+
+
 @pytest.mark.slow
 def test_strips_interpret_pallas_front():
     """The row-strip sharding's Pallas path (strip front kernel with the
