@@ -50,7 +50,7 @@ def main():
     kmax = int(os.environ.get("CLFD_EXP_STAGES", "12"))
     det = PyramidDetector(spec, gray.shape, min_size=(40, 40),
                           front_stages=kmax, use_pallas_front=False)
-    h0, w0 = det.compiled.h0, det.compiled.w0
+    h0, w0 = spec.window_h, spec.window_w
 
     planes, sq_hi, sq_lo = jax.jit(det._prep_planes)(
         jnp.asarray(gray, jnp.uint8))
@@ -69,8 +69,7 @@ def main():
     var = win_sq * inv - mean * mean
     vnf = jnp.where(var >= 0, jnp.sqrt(jnp.maximum(var, 0)),
                     jnp.ones_like(var))
-    passes = jax.jit(lambda p, v: [np.asarray(x) for x in
-                                   det._front_maps(p, v, out_shape)])(
+    passes = jax.jit(lambda p, v: det._front_maps(p, v, out_shape))(
         planes, vnf)
     passes = [np.asarray(p) for p in passes]
 
