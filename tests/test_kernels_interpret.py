@@ -171,7 +171,7 @@ def test_multi_cascade_fused_readback_interpret():
                 np.sort(np.asarray(ref), 0)), (name, i)
 
 
-@pytest.mark.slow
+@pytest.mark.exhaustive
 def test_strips_interpret_pallas_front():
     """The row-strip sharding's Pallas path (strip front kernel with the
     per-shard visit mask as a runtime operand) under shard_map on the
@@ -254,7 +254,7 @@ def test_tilted_tail_interpret():
     assert got == want
 
 
-@pytest.mark.slow
+@pytest.mark.exhaustive
 def test_pipeline_interpret_tail_accept_set():
     """Full interpret pipeline (front kernel -> compaction -> tail
     kernel walk) reproduces the XLA pipeline's accepted windows, on a

@@ -63,7 +63,7 @@ def test_multi_empty_cascade_slot(frames):
     assert all(len(r.candidates) == 0 for r in empt[0])
 
 
-@pytest.mark.slow
+@pytest.mark.exhaustive
 def test_multi_cap_regrowth(frames):
     """A deliberately tiny survivor cap overflows; the fused step must
     regrow only as needed, rebuild, and land on the uncapped answer."""
@@ -96,7 +96,7 @@ def test_multi_stream_matches_detect(frames):
                 (bi, names[k])
 
 
-@pytest.mark.slow
+@pytest.mark.exhaustive
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_multi_sharded_matches_unsharded(frames):
     """config 5 on the mesh: the fused 3-cascade shard_map program over

@@ -60,7 +60,7 @@ def test_strips_overflow_regrow():
     assert np.array_equal(np.asarray(got), np.asarray(ref))
 
 
-@pytest.mark.slow
+@pytest.mark.exhaustive
 def test_strips_full_depth_vga():
     """Full-depth frontalface_alt at VGA over 8 strips == single-device,
     on a synthetic scene with real detections."""
