@@ -17,6 +17,13 @@ run() {
 T=120  run probe          python -c "import jax; print(jax.devices())"
 grep -qiE "tpu|axon" "$L/probe.log" || { echo "tunnel down, aborting"; exit 2; }
 
+# timings are garbage under host contention: stop a known CPU-heavy job
+# (exact PID only — never kill by pattern) and let the host settle
+if [ -f /tmp/cpu_heavy.pid ]; then
+  kill "$(cat /tmp/cpu_heavy.pid)" 2>/dev/null && sleep 10
+  rm -f /tmp/cpu_heavy.pid
+fi
+
 # --- missing-documentation items first (short tunnel windows happen) ---
 # scale-cascade steady-state table (VGA + 1080p) for docs/PERF.md
 T=3000 run scale_cascade  python scripts/prof_scale_cascade.py
