@@ -3,12 +3,18 @@
 full multi-scale detection (scaleFactor 1.1, minNeighbors 3, minSize 40x40).
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "fps", "vs_baseline": N}
+    {"metric": "...", "value": N, "unit": "fps", "vs_baseline": N,
+     "device_ms_per_frame": N, "mfu": N, "batch": N, "batch_table": {...}}
 
-Baseline (BASELINE.md north star): >= 2000 fps/chip.  The loop is honest
-per-frame work: host->device transfer of the uint8 frame batch, the whole
-compiled multi-scale program, device->host readback of the padded survivor
-buffers, and host-side grouping of the candidates.
+Baseline (BASELINE.md north star): >= 2000 fps/chip.  The headline loop is
+honest per-frame work: host->device transfer of the uint8 frame batch, the
+whole compiled multi-scale program, device->host readback of the padded
+survivor buffers, and host-side grouping of the candidates.
+``device_ms_per_frame`` isolates the compiled program (frames device-
+resident, enqueue-N with one tiny readback -- docs/PERF.md measurement
+rules).  ``mfu`` = useful algorithm FLOPs / (device time x 197 TFLOP/s
+v5e bf16 peak); the op accounting lives in utils/flops.py and is walked
+through in docs/CEILING.md.
 """
 
 import json
@@ -23,11 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_FPS = 2000.0
 
 
-def _device_reachable(timeout_s: float = 180.0) -> bool:
-    """Probe jax backend init in a CHILD process: when the axon tunnel
-    is down, an in-process jax.devices() hangs indefinitely (it does not
-    raise), which would turn this bench into a silent hang.  The child
-    is killable on timeout."""
+def _probe_once(timeout_s: float) -> bool:
+    """One child-process jax reachability probe.  A child, not in-process:
+    when the axon tunnel is down, jax.devices() hangs rather than raising,
+    and only a child is killable on timeout."""
     import subprocess
     code = ("import jax, numpy as np, jax.numpy as jnp; "
             "print(np.asarray(jnp.arange(4) * 2))")
@@ -39,16 +44,36 @@ def _device_reachable(timeout_s: float = 180.0) -> bool:
         return False
 
 
+def _device_reachable():
+    """Retry the probe with backoff before concluding 'unreachable'.
+
+    Round 3 recorded a false 0.0 fps because ONE 180 s probe timed out
+    under concurrent CPU load while the tunnel was actually up
+    (BENCH_r03.json vs the 19.3 fps measured minutes later).  A single
+    load-sensitive child timeout must never zero the headline: probe up
+    to 3 times over ~10 minutes, with growing timeouts, and report the
+    host load so 'device down' and 'host busy' are distinguishable."""
+    attempts = max(1, int(os.environ.get("CLFD_BENCH_PROBE_ATTEMPTS", "3")))
+    timeouts = (120.0, 180.0, 300.0)
+    for i in range(attempts):
+        if _probe_once(timeouts[min(i, len(timeouts) - 1)]):
+            return True, ""
+        if i + 1 < attempts:
+            time.sleep(30.0 * (i + 1))
+    load = os.getloadavg()[0] if hasattr(os, "getloadavg") else -1.0
+    return False, (f"tpu_probe_failed_{attempts}_attempts"
+                   f"(loadavg={load:.1f})")
+
+
 def main() -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/root/.cache/jax_comp")
-    if not _device_reachable():
-        # honest fast-fail: no device, no number (docs/PERF.md: the
-        # tunnel has measured outages of >11 h)
+    ok, why = _device_reachable()
+    if not ok:
         print(json.dumps({
             "metric": "1080p_frontalface_alt_detect_fps_per_chip",
             "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
-            "error": "tpu_tunnel_unreachable",
+            "error": why,
         }))
         return
     import jax
@@ -61,6 +86,8 @@ def main() -> None:
     from clfacedetection_tpu.models import load_cascade
     from clfacedetection_tpu.runtime import BatchedPyramidDetector
     from clfacedetection_tpu.utils import photo_scene
+    from clfacedetection_tpu.utils.flops import (PEAK_FLOPS_BF16,
+                                                 pipeline_flops)
 
     spec = load_cascade("haarcascade_frontalface_alt")
     # real photograph backdrop + pasted faces (utils/testimage.py): real
@@ -68,8 +95,8 @@ def main() -> None:
     # unrealistically cascade-friendly (docs/PERF.md round-1 note)
     frame = photo_scene((1080, 1920))
 
-    best_fps = 0.0
-    best_cfg = None
+    best = None      # (fps, batch, det, dev_ms, n_surv)
+    table = {}
     for batch in (int(v) for v in
                   os.environ.get("CLFD_BENCH_BATCHES", "8,16,32").split(",")):
         # one failing config (OOM, tunnel hiccup mid-compile) must not
@@ -83,7 +110,7 @@ def main() -> None:
             # warm-up: full path incl. potential cap regrowth
             res = det.detect(frames, min_neighbors=3)
             n_boxes = len(res[0].boxes)
-            # timed loop (host->device, device program, readback,
+            # --- e2e: timed loop (host->device, device program, readback,
             # grouping), pipelined with 3 batches in flight so tunnel
             # sync latency and host grouping overlap device compute.
             # The axon tunnel's sync latency fluctuates run to run
@@ -100,20 +127,52 @@ def main() -> None:
                     pass
                 dt = min(dt, (time.perf_counter() - t0) / (reps * batch))
             fps = 1.0 / dt
-            print(f"# batch={batch}: {dt*1e3:.2f} ms/frame = {fps:.1f} fps "
-                  f"({n_boxes} faces)", file=sys.stderr)
+            # --- device-only: frames device-resident, enqueue N programs,
+            # ONE tiny readback (block_until_ready lies through the
+            # tunnel; each np.asarray costs ~24 ms sync -- docs/PERF.md)
+            dev_frames = det.put(frames)
+            out = det.run_device(dev_frames)
+            n_surv = int(np.asarray(out["packed"][:, 0]).max())
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = det.run_device(dev_frames)
+            np.asarray(out["packed"][:, :2])
+            dev_ms = ((time.perf_counter() - t0) / (reps * batch)) * 1e3
+            table[str(batch)] = {"e2e_ms": round(dt * 1e3, 2),
+                                 "device_ms": round(dev_ms, 2),
+                                 "n_surv": n_surv}
+            print(f"# batch={batch}: e2e {dt*1e3:.2f} ms/frame = {fps:.1f} "
+                  f"fps, device {dev_ms:.2f} ms/frame ({n_boxes} faces, "
+                  f"{n_surv} survivors)", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# batch={batch}: FAILED ({type(e).__name__}: {e})",
                   file=sys.stderr)
             continue
-        if fps > best_fps:
-            best_fps, best_cfg = fps, batch
+        if best is None or fps > best[0]:
+            best = (fps, batch, det, dev_ms, n_surv)
 
+    if best is None:
+        print(json.dumps({
+            "metric": "1080p_frontalface_alt_detect_fps_per_chip",
+            "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
+            "error": "all_batch_configs_failed", "batch_table": table,
+        }))
+        return
+
+    fps, batch, det, dev_ms, n_surv = best
+    fl = pipeline_flops(det.det, n_surv)
+    mfu = fl["useful_flops"] / (dev_ms * 1e-3) / PEAK_FLOPS_BF16
     print(json.dumps({
         "metric": "1080p_frontalface_alt_detect_fps_per_chip",
-        "value": round(best_fps, 2),
+        "value": round(fps, 2),
         "unit": "fps",
-        "vs_baseline": round(best_fps / BASELINE_FPS, 4),
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+        "batch": batch,
+        "e2e_ms_per_frame": round(1e3 / fps, 2),
+        "device_ms_per_frame": round(dev_ms, 2),
+        "useful_gflops_per_frame": round(fl["useful_flops"] / 1e9, 3),
+        "mfu": round(mfu, 6),
+        "batch_table": table,
     }))
 
 

@@ -97,6 +97,29 @@ def test_find_biggest_object_flag(image):
     assert len(res.boxes) == 1
 
 
+def test_find_biggest_object_device_driver_on_cpu():
+    """The DEVICE FBO driver (ScaleCascadeDetector.find_biggest_object:
+    descending scales, ROI-shrink, min-size raise) vs the oracle's FBO,
+    on the CPU backend.  The public API's CPU path falls back to the
+    NumPy oracle, which used to leave the device driver TPU-only
+    (test_tpu_modes) — this is the same parity check in the default
+    lane."""
+    from clfacedetection_tpu.detect.detector import ScaleCascadeDetector
+    from clfacedetection_tpu.detect.reference_impl import \
+        detect_multi_scale_reference
+    from clfacedetection_tpu.utils import photo_scene
+
+    spec = load_cascade("haarcascade_frontalface_default")
+    img = photo_scene((240, 320), face_sizes=(60, 100))
+    ref = detect_multi_scale_reference(
+        img, spec, scale_factor=1.1, min_neighbors=1, min_size=(40, 40),
+        find_biggest_object=True, max_stages=6)
+    det = ScaleCascadeDetector(spec, img.shape, scale_factor=1.1,
+                               min_size=(0, 0), max_stages=6)
+    got = det.find_biggest_object(img, min_neighbors=1, min_size=(40, 40))
+    assert np.array_equal(np.asarray(ref), got)
+
+
 def test_single_scale_config1(image):
     """BASELINE config 1: single pyramid level (min_size == max_size ==
     base window) — golden vs pyramid parity at exactly one scale."""
