@@ -189,7 +189,7 @@ class ScaleCascadeDetector:
                  scale_factor: float = 1.1,
                  min_size: Tuple[int, int] = (0, 0),
                  max_size: Optional[Tuple[int, int]] = None,
-                 front_stages: int = 3,
+                 front_stages: Optional[int] = None,
                  cap: Optional[int] = None,
                  dtype=jnp.float32,
                  clf_chunk: int = 256,
@@ -220,6 +220,19 @@ class ScaleCascadeDetector:
         self.do_canny_pruning = bool(do_canny_pruning)
         self.paths = _stage_paths(c)
         self.n_stages = c.spec.n_stages
+        if front_stages is None:
+            # TPU default: evaluate EVERY stage as a dense per-scale map,
+            # removing the gather tail entirely.  Scale-cascade windows
+            # are 43+ px wide (no VMEM band kernel possible), so the tail
+            # is element-rate-bound XLA gathers (~0.27 G elem/s) and
+            # dominates: measured VGA full depth 30.9 s/frame at front 3
+            # vs 1.98 s at front n_stages, box-for-box identical
+            # (scripts/prof_sc_sweep.py, round 4).  The one-off compile of
+            # the all-stages shared program is minutes (persistent-cached);
+            # front 3 remains the CPU default, where dense maps are the
+            # expensive side.
+            front_stages = (self.n_stages
+                            if jax.default_backend() == "tpu" else 3)
         self.front_k = max(1, min(front_stages, self.n_stages))
         if self.n_scales == 0:
             return
@@ -557,18 +570,36 @@ class ScaleCascadeDetector:
         chunk_in["tilt"] = jnp.asarray(tilt).reshape(n_chunks, ck, T)
 
         def chunk_votes(cxs):
-            gy = sy[:, None, None, None, None] + cxs["cy"][None]
-            gx = sx[:, None, None, None, None] + cxs["cx"][None]
+            # 2-D gathers on purpose: a [cap, ck, T, 3, 4] gather result
+            # forces a (4,128)-tiled layout on the tiny (3,4) minor dims
+            # — a measured 42.7x HBM padding blowup (two 8G temps) that
+            # OOMs the 1080p scale-cascade program at grown caps.  The
+            # flattened form gathers the same elements in the same order
+            # and every float op keeps the oracle's accumulation order,
+            # so results are bit-identical.
+            flat = ck * T * 12
+            gy = sy[:, None] + cxs["cy"].reshape(1, flat)
+            gx = sx[:, None] + cxs["cx"].reshape(1, flat)
             v = planes["sum"][gy, gx]
             if c.has_tilted:
                 v_t = planes["tilted"][gy, gx]
-                v = jnp.where(cxs["tilt"][None, ..., None, None], v_t, v)
-            v = v.astype(dtype)
-            rs = v[..., 0] - v[..., 1] - v[..., 2] + v[..., 3]
-            w = cxs["w"][None].astype(dtype)         # [1, ck, T, 3]
+                tmask = jnp.repeat(cxs["tilt"].reshape(-1), 12)[None]
+                v = jnp.where(tmask, v_t, v)
+            # corners are the fastest-varying flat index: stride-4 slices
+            # pick the (+,-,-,+) corners of every (clf, node, rect).
+            # Difference in INT before the dtype cast: raw 1080p integral
+            # values reach ~5e8 (> 2^24), so casting corners to f32 first
+            # loses low bits the oracle (double from int, tempcv.cpp:782)
+            # never loses; the int32 combination is exact (|v0-v1-v2+v3|
+            # < 2^31) and window-bounded afterwards.  Matches the dense
+            # front maps' cast order (_rect_sum_map -> _node_value_map).
+            rs = (v[:, 0::4] - v[:, 1::4] - v[:, 2::4]
+                  + v[:, 3::4]).astype(dtype)
+            w = cxs["w"].reshape(1, -1).astype(dtype)  # [1, ck*T*3]
+            prod = rs * w
             # rect-ordered sum, matching the oracle's accumulation order
-            nv = rs[..., 0] * w[..., 0] + rs[..., 1] * w[..., 1] \
-                + rs[..., 2] * w[..., 2]              # [n, ck, T]
+            nv = (prod[:, 0::3] + prod[:, 1::3]
+                  + prod[:, 2::3]).reshape(-1, ck, T)
             from .pyramid import _cart_votes
             return _cart_votes(
                 nv, svnf,

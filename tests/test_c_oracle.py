@@ -126,6 +126,31 @@ def test_c_oracle_accepting_windows():
     assert 1 in codes, "no window passed: the test lost its teeth"
 
 
+ALL_19 = [
+    "haarcascade_eye", "haarcascade_eye_tree_eyeglasses",
+    "haarcascade_frontalface_alt", "haarcascade_frontalface_alt2",
+    "haarcascade_frontalface_alt_tree", "haarcascade_frontalface_default",
+    "haarcascade_fullbody", "haarcascade_lefteye_2splits",
+    "haarcascade_lowerbody", "haarcascade_mcs_eyepair_big",
+    "haarcascade_mcs_eyepair_small", "haarcascade_mcs_lefteye",
+    "haarcascade_mcs_mouth", "haarcascade_mcs_nose",
+    "haarcascade_mcs_righteye", "haarcascade_mcs_upperbody",
+    "haarcascade_profileface", "haarcascade_righteye_2splits",
+    "haarcascade_upperbody",
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ALL_19)
+def test_c_oracle_all_19_bundled(name):
+    """Oracle cross-validation over the ENTIRE bundled model zoo: every
+    shipped cascade, full depth, both oracles window-for-window (the
+    fast-lane tests cover one representative per structural family)."""
+    spec = load_cascade(name)
+    img = synth_face((80, 100), size=56.0, seed=hash(name) % 1000)
+    _cross_check(spec, img, scales=[1.0, 1.6], step=2)
+
+
 @pytest.mark.parametrize("case", CASES,
                          ids=[f"s{c['seed']}" for c in CASES])
 def test_c_oracle_property_cascades(case):

@@ -29,8 +29,13 @@ def test_scale_cascade_compile_bound_full_depth_vga():
     spec = load_cascade("haarcascade_frontalface_alt")
     img = photo_scene((480, 640), face_sizes=(60, 100))
     t0 = time.time()
+    # front_stages=3 pins the original shared-program compile bound; the
+    # round-4 TPU default (front_stages=n_stages, 15.6x faster steady
+    # state) trades a longer one-off compile (~12 min cold, persistent-
+    # cached) for the removed gather tail -- see docs/PERF.md
     det = ScaleCascadeDetector(spec, img.shape, scale_factor=1.1,
-                               min_size=(56, 56), max_size=(160, 160))
+                               min_size=(56, 56), max_size=(160, 160),
+                               front_stages=3)
     got, ovf = det.candidates(img)
     elapsed = time.time() - t0
     assert not ovf
