@@ -47,6 +47,7 @@ box-for-box (same resize, same variance semantics, same vote order).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -423,7 +424,10 @@ class PyramidDetector:
                                 and dtype == jnp.float32
                                 and strategy != "direct"
                                 and w0 + 1 <= 64 and h0 + 1 <= 32)
-        self.tail_chunkk = 64
+        # survivors per Pallas-tail work chunk; 64 measured best (32 pays
+        # more per-chunk fixed cost, 128 shrinks the VMEM band plan) —
+        # env-overridable for profiling sweeps
+        self.tail_chunkk = int(os.environ.get("CLFD_TAIL_CHUNKK", "64"))
         self._tail_kernels = {}
         self._visit_np = vm
         self._front_kernels = {}
