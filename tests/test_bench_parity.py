@@ -1,9 +1,10 @@
-"""Parity pin for the EXACT benchmark configuration (VERDICT r3 Weak #5).
+"""Parity pin for the EXACT benchmark configurations (VERDICT r3 Weak #5).
 
 bench.py's number is produced by the f32 Pallas pipeline (1080p photo
-scene, frontalface_alt, front_stages=12, cap 16384, minSize 40x40); its
-correctness was previously only covered by a global "Jaccard > 0.98"
-README claim measured on other configs.  This TPU-only test runs the
+scene, frontalface_alt, minSize 40x40) at the swept front/cap configs —
+front_stages=10/cap=32768 (the round-4 re-sweep winner and default) and
+front_stages=12/cap=16384; its correctness was previously only covered
+by a global "Jaccard > 0.98" README claim measured on other configs.  This TPU-only test runs the
 bench pipeline on the bench frame and compares against the f64 XLA
 specification program (run on the host CPU in a subprocess so x64 mode
 never leaks into this session), asserting the quantified thresholds
@@ -42,7 +43,8 @@ from clfacedetection_tpu.utils import photo_scene
 spec = load_cascade("haarcascade_frontalface_alt")
 frame = photo_scene((1080, 1920))
 det = PyramidDetector(spec, frame.shape, min_size=(40, 40),
-                      front_stages=12, cap=16384, dtype=jnp.float64)
+                      front_stages=int(sys.argv[2]), cap=int(sys.argv[3]),
+                      dtype=jnp.float64)
 cand, ovf = det.candidates(frame)
 assert not ovf
 np.save(sys.argv[1], np.asarray(cand, np.int64))
@@ -59,7 +61,9 @@ def _iou(a, b):
     return inter / union if union else 0.0
 
 
-def test_bench_config_f32_parity_vs_f64(tmp_path):
+@pytest.mark.parametrize("front,cap", [(10, 32768), (12, 16384)],
+                         ids=["f10c32k", "f12c16k"])
+def test_bench_config_f32_parity_vs_f64(tmp_path, front, cap):
     from clfacedetection_tpu.detect.grouping import group_rectangles
     from clfacedetection_tpu.detect.pyramid import PyramidDetector
     from clfacedetection_tpu.models import load_cascade
@@ -68,7 +72,7 @@ def test_bench_config_f32_parity_vs_f64(tmp_path):
     spec = load_cascade("haarcascade_frontalface_alt")
     frame = photo_scene((1080, 1920))
     det = PyramidDetector(spec, frame.shape, min_size=(40, 40),
-                          front_stages=12, cap=16384)
+                          front_stages=front, cap=cap)
     assert det.use_pallas_front and det.use_pallas_tail2, \
         "not the bench pipeline"
     cand32, ovf = det.candidates(frame)
@@ -79,7 +83,8 @@ def test_bench_config_f32_parity_vs_f64(tmp_path):
                PYTHONPATH=_REPO + os.pathsep + os.environ.get(
                    "PYTHONPATH", ""))
     env.pop("CLFD_TEST_TPU", None)
-    subprocess.run([sys.executable, "-c", _F64_RUNNER, str(out)],
+    subprocess.run([sys.executable, "-c", _F64_RUNNER, str(out),
+                    str(front), str(cap)],
                    check=True, env=env, timeout=1800)
     cand64 = np.load(out)
 
