@@ -70,11 +70,21 @@ class RefWindowEvaluator:
             - float(img[cy[2], cx[2]]) + float(img[cy[3], cx[3]])
 
     def _node_value(self, node: int, x: int, y: int) -> float:
+        """Each rect term rounds to f32 before the double accumulation:
+        tempcv.cpp:782 multiplies an int calc_sum expression by a float
+        weight, so C++ usual arithmetic conversions narrow the rect sum
+        to f32 and round the product to f32 (observable when rect sums
+        exceed 2^24 — large windows at big scales).  The C oracle
+        (native/haar_oracle.cpp eval_classifier) mirrors this
+        identically; docs/PARITY.md 'oracle precision contract'."""
         w = self.s.weight[node]
-        v = self._rect_sum(node, 0, x, y) * float(w[0])
-        v += self._rect_sum(node, 1, x, y) * float(w[1])
+        v = float(np.float32(self._rect_sum(node, 0, x, y))
+                  * np.float32(w[0]))
+        v += float(np.float32(self._rect_sum(node, 1, x, y))
+                   * np.float32(w[1]))
         if w[2] != 0.0:
-            v += self._rect_sum(node, 2, x, y) * float(w[2])
+            v += float(np.float32(self._rect_sum(node, 2, x, y))
+                       * np.float32(w[2]))
         return v
 
     def _eval_classifier(self, clf: int, vnf: float, x: int, y: int) -> float:

@@ -23,9 +23,16 @@
 //                                      tempcv.cpp:771-948)
 //
 // Precision contract (deliberately mirrored): rect weights, node
-// thresholds, alphas and biased stage thresholds are float; every
-// accumulation (rect sums, node values, stage sums, variance) is double;
-// cvRound is round-half-to-even (lrint under the default FE_TONEAREST).
+// thresholds, alphas and biased stage thresholds are float; rect-sum *
+// weight products round to FLOAT before accumulation — tempcv.cpp:782
+// multiplies an int calc_sum expression by a float weight, so C++ usual
+// arithmetic conversions narrow the rect sum to f32 and round the
+// product to f32 (observable when rect sums exceed 2^24, i.e. large
+// windows at big scales); stage sums, node-value accumulation across
+// rects, and variance stay double; cvRound is round-half-to-even
+// (lrint under the default FE_TONEAREST).  The NumPy oracle
+// (reference_impl.py _node_value) makes the identical choice, so the
+// cross-check in tests/test_c_oracle.py pins this contract.
 
 #include <cmath>
 #include <cstdint>
@@ -73,21 +80,33 @@ struct Oracle {
     const int32_t *tsum;
     int width, height;          // integral plane dims (W+1, H+1)
     int real_w, real_h;
+    // scaled corner extents over ALL node rects: per-term cvRound can
+    // overhang the cvRound(window*scale) box by 1-2 px (and tilted
+    // corners can reach x-th < 0), so the window bounds check alone
+    // does not make every rect read in-bounds — the reference reads
+    // that slack inside its own larger allocation (tempcv.cpp buffers),
+    // a NumPy-backed oracle must reject instead (heap overread)
+    int max_cx, max_cy, min_cx;
     double inv_area;
     Corner equ[4];
     Node *nodes;                // [n_nodes] scaled
 };
 
-inline double rect_sum(const Oracle *o, const NodeRect &r, int x, int y) {
+// int rect sum, like the reference's calc_sum macro (tempcv.cpp:545):
+// the sum/tilted planes are int32 and the four-corner combination stays
+// integer until it meets the float weight
+inline int32_t rect_sum(const Oracle *o, const NodeRect &r, int x, int y) {
     const int32_t *img = r.tilted ? o->tsum : o->sum;
     const int w = o->width;
-    return (double)img[(r.c[0].y + y) * w + r.c[0].x + x]
-         - (double)img[(r.c[1].y + y) * w + r.c[1].x + x]
-         - (double)img[(r.c[2].y + y) * w + r.c[2].x + x]
-         + (double)img[(r.c[3].y + y) * w + r.c[3].x + x];
+    return img[(r.c[0].y + y) * w + r.c[0].x + x]
+         - img[(r.c[1].y + y) * w + r.c[1].x + x]
+         - img[(r.c[2].y + y) * w + r.c[2].x + x]
+         + img[(r.c[3].y + y) * w + r.c[3].x + x];
 }
 
-// CART walk (tempcv.cpp:771-792): do { node value vs t*vnf } while leaf
+// CART walk (tempcv.cpp:771-792): do { node value vs t*vnf } while leaf.
+// Each rect term is an f32 product (int calc_sum narrowed to float by
+// usual arithmetic conversions at tempcv.cpp:782) accumulated in double.
 inline double eval_classifier(const Oracle *o, int clf, double vnf,
                               int x, int y) {
     const Node *base = o->nodes + o->clf_node_ofs[clf];
@@ -96,10 +115,13 @@ inline double eval_classifier(const Oracle *o, int clf, double vnf,
     for (;;) {
         const Node *nd = base + idx;
         double t = (double)nd->threshold * vnf;
-        double s = rect_sum(o, nd->rect[0], x, y) * (double)nd->rect[0].weight;
-        s += rect_sum(o, nd->rect[1], x, y) * (double)nd->rect[1].weight;
+        double s = (double)((float)rect_sum(o, nd->rect[0], x, y)
+                            * nd->rect[0].weight);
+        s += (double)((float)rect_sum(o, nd->rect[1], x, y)
+                      * nd->rect[1].weight);
         if (nd->rect[2].weight != 0.0f)
-            s += rect_sum(o, nd->rect[2], x, y) * (double)nd->rect[2].weight;
+            s += (double)((float)rect_sum(o, nd->rect[2], x, y)
+                          * nd->rect[2].weight);
         idx = s < t ? nd->left : nd->right;
         if (idx <= 0)
             return (double)alpha[-idx];
@@ -204,6 +226,9 @@ void clfd_oracle_set_images(void *handle, const int32_t *sum,
     o->equ[3] = {(int32_t)(exy + eh), (int32_t)(exy + ew)};
 
     // per-node scaled rects + renormalized weights (tempcv.cpp:636-762)
+    o->max_cx = o->real_w;
+    o->max_cy = o->real_h;
+    o->min_cx = 0;
     for (int n = 0; n < o->n_nodes; ++n) {
         Node *nd = o->nodes + n;
         nd->threshold = o->node_thr[n];
@@ -236,6 +261,11 @@ void clfd_oracle_set_images(void *handle, const int32_t *sum,
                 r->c[3] = {(int32_t)(ty + tw + th), (int32_t)(tx + tw - th)};
             }
             r->weight = (float)((double)ow * corr);
+            for (int c = 0; c < 4; ++c) {
+                if (r->c[c].x > o->max_cx) o->max_cx = r->c[c].x;
+                if (r->c[c].y > o->max_cy) o->max_cy = r->c[c].y;
+                if (r->c[c].x < o->min_cx) o->min_cx = r->c[c].x;
+            }
             if (k == 0)
                 area0 = (double)tw * th;
             else
@@ -255,7 +285,13 @@ void clfd_oracle_run(const void *handle, const int32_t *xs, const int32_t *ys,
         int x = xs[i], y = ys[i];
         double ss = 0.0;
         if (x < 0 || y < 0 || x + o->real_w >= o->width ||
-            y + o->real_h >= o->height) {
+            y + o->real_h >= o->height ||
+            // per-term cvRound corner overhang / tilted negative reach:
+            // any rect read that would leave the caller's plane is a
+            // reject, same code as the window bounds check (-1) — the
+            // reference reads this slack inside its own allocation
+            x + o->max_cx >= o->width || y + o->max_cy >= o->height ||
+            x + o->min_cx < 0) {
             codes[i] = -1;
             stage_sums[i] = 0.0;
             continue;
