@@ -536,8 +536,10 @@ class PyramidDetector:
                 - img[oy[2]:oy[2] + shape[0], ox[2]:ox[2] + shape[1]]
                 + img[oy[3]:oy[3] + shape[0], ox[3]:ox[3] + shape[1]])
 
-    def _front_maps(self, planes, vnf, shape):
-        """Dense front-stage pass maps from static stencil slices."""
+    def _front_maps(self, planes, vnf, shape, n_stages=None):
+        """Dense front-stage pass maps from static stencil slices
+        (``n_stages`` overrides the front depth — used by the
+        scalar-floor accounting to sweep ALL stages dense)."""
         t = self.tables
         spec = self.compiled.spec
         dtype = self.dtype
@@ -576,7 +578,7 @@ class PyramidDetector:
             return walk(0)
 
         passes = []
-        for st in range(self.front_k):
+        for st in range(self.front_k if n_stages is None else n_stages):
             c0 = int(spec.stage_clf_ofs[st])
             cnt = int(spec.stage_clf_cnt[st])
             ssum = jnp.zeros(shape, dtype)
@@ -584,6 +586,43 @@ class PyramidDetector:
                 ssum = ssum + clf_map(c0 + j)
             passes.append(ssum >= stage_thr[st].astype(dtype))
         return passes
+
+    def stage_entering_counts(self, gray) -> np.ndarray:
+        """Windows ENTERING each stage under scalar per-stage early exit,
+        plus the final accepted count: ``[n_stages + 1]`` int64.
+
+        This is the exact per-scene work profile of the reference's CPU
+        evaluator (tempcv.cpp:919-948: evaluate stage s only if stages
+        0..s-1 passed), measured by running ALL stages dense and
+        cumulatively ANDing the pass maps.  It feeds the
+        schedule-independent "scalar early-exit floor" MFU denominator
+        (utils/flops.py::scalar_floor_flops, docs/CEILING.md section 4):
+        unlike ``useful_flops`` it does not depend on the front/tail
+        handoff depth, so it is comparable across rounds and configs.
+        Linear cascades only (stage-tree cascades have no per-stage
+        early-exit semantics to count)."""
+        if self.is_tree:
+            raise ValueError("scalar early-exit counts are undefined for "
+                             "stage-tree cascades")
+
+        def counts(g):
+            planes, sq_hi, sq_lo = self._prep_planes(g)
+            # vnf exactly as the front computes it (XLA CSEs the shared
+            # prep within this one jitted program)
+            f = self._front_from_planes(planes, sq_hi, sq_lo)
+            shape = (self.plan.canvas_h + 1, self.plan.canvas_w + 1)
+            passes = self._front_maps(planes, f["vnf"], shape,
+                                      n_stages=self.n_stages)
+            alive = jnp.asarray(self._visit)
+            out = []
+            for p in passes:
+                out.append(alive.sum())
+                alive = alive & p
+            out.append(alive.sum())
+            return jnp.stack(out)
+
+        gray = np.asarray(gray, np.uint8)
+        return np.asarray(jax.jit(counts)(gray)).astype(np.int64)
 
     def _tail_accept(self, planes, sy, sx, svnf):
         """All-stage evaluation of compacted survivors via patch matmul,

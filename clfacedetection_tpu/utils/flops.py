@@ -32,7 +32,8 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["pipeline_flops", "PEAK_FLOPS_BF16", "PEAK_FLOPS_F32_HIGHEST"]
+__all__ = ["pipeline_flops", "scalar_floor_flops", "PEAK_FLOPS_BF16",
+           "PEAK_FLOPS_F32_HIGHEST"]
 
 # TPU v5e public peak: 197 TFLOP/s bf16 (one chip).  f32 through the MXU
 # at precision=HIGHEST runs as a multi-pass bf16 decomposition; the
@@ -109,4 +110,42 @@ def pipeline_flops(det, n_surv: int) -> Dict[str, float]:
         tail_nodes=tail_nodes,
         grid_positions=float(grid_pos),
         visit_positions=float(det.n_visit),
+    )
+
+
+def scalar_floor_flops(det, entering: np.ndarray) -> Dict[str, float]:
+    """Schedule-INDEPENDENT useful-work floor: the exact arithmetic a
+    scalar per-stage-early-exit implementation (the reference's CPU
+    evaluator, tempcv.cpp:919-948) performs on this scene.
+
+    ``entering`` is ``PyramidDetector.stage_entering_counts(gray)`` —
+    windows entering each stage (+ final accepts).  Unlike
+    ``pipeline_flops``'s ``useful_flops`` (whose dense-front term grows
+    with the chosen front/tail handoff depth, making MFU incomparable
+    across configs — round-4 verdict weakness #3), this denominator
+    depends only on the cascade and the scene, so it is the fixed
+    yardstick for cross-round MFU and for CEILING.md's north-star gap.
+    """
+    spec = det.compiled.spec
+    rects = _node_rects(det)
+    node_ops = RECT_OPS * rects + NODE_OPS * (rects > 0)
+    clf_ops = node_ops.sum(axis=1)
+    n_stages = int(det.n_stages)
+    assert len(entering) == n_stages + 1
+    stage_ops = np.zeros(n_stages)
+    stage_nodes = np.zeros(n_stages)
+    for s in range(n_stages):
+        c0 = int(spec.stage_clf_ofs[s])
+        cnt = int(spec.stage_clf_cnt[s])
+        stage_ops[s] = float(clf_ops[c0:c0 + cnt].sum())
+        stage_nodes[s] = float((rects[c0:c0 + cnt] > 0).sum())
+    prep = 14.0 * det.plan.canvas_h * det.plan.canvas_w
+    ent = np.asarray(entering[:n_stages], np.float64)
+    node_evals = float((ent * stage_nodes).sum())
+    flops = prep + VAR_OPS * float(det.n_visit) + float(
+        (ent * stage_ops).sum())
+    return dict(
+        scalar_floor_flops=flops,
+        scalar_node_evals=node_evals,
+        entering_per_stage=entering,
     )
