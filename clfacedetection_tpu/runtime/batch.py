@@ -94,6 +94,13 @@ class BatchedPyramidDetector:
                 **kw))
         else:
             self._jit_step = jax.jit(step)
+        # one-attribute (program, cap) snapshot: the threaded stream
+        # drain can grow the cap and rebuild the step concurrently with
+        # the enqueue thread; reading this single tuple gives a
+        # consistent pair (reading ._jit_step and .det.cap separately
+        # could mix an old program with a new cap and vacuously pass
+        # the overflow check on a truncated batch)
+        self._step = (self._jit_step, self.det.cap)
 
     def put(self, frames: np.ndarray) -> jax.Array:
         """Transfer a [B, H, W] uint8 batch, sharded over the mesh."""
@@ -133,7 +140,8 @@ class BatchedPyramidDetector:
             return p, p[:, 0]
         return None, np.asarray(dev["n_surv"])
 
-    def detect_stream(self, batches, min_neighbors: int = 3, depth: int = 2):
+    def detect_stream(self, batches, min_neighbors: int = 3, depth: int = 2,
+                      threaded: bool = True):
         """Pipelined detection over an iterable of [B, H, W] batches.
 
         Keeps ``depth`` batches in flight so the tunnel's readback/sync
@@ -143,21 +151,44 @@ class BatchedPyramidDetector:
         Yields one ``List[DetectionResult]`` per input batch, in order.
         A batch that overflows the survivor cap is transparently re-run
         via :meth:`detect` (recompiling at the grown cap).
+
+        With ``threaded`` (default), the drain — the blocking readback
+        sync (~25 ms tunnel RTT per batch) plus host grouping — runs on
+        a single worker thread, so the enqueue thread never stalls on
+        it; round-5 measurement (docs/PERF.md host-phase table) showed
+        the serial drain adds 3-8 ms/frame that this overlap removes.
         """
         from collections import deque
         q = deque()
-        for frames in batches:
-            # record the cap in effect at enqueue time: a later batch may
-            # overflow and grow self.det.cap mid-stream, but THIS batch's
-            # device result was computed (and truncated) at the old cap —
-            # comparing its n_surv against the new, larger cap would
-            # silently accept dropped detections
-            q.append((frames, self.run_device(self.put(frames)),
-                      self.det.cap))
-            if len(q) >= depth:
+        if not threaded:
+            for frames in batches:
+                # record the (program, cap) pair in effect at enqueue
+                # time: a later batch may overflow and grow det.cap
+                # mid-stream, but THIS batch's device result was computed
+                # (and truncated) at the old cap — comparing its n_surv
+                # against the new, larger cap would silently accept
+                # dropped detections
+                fn, cap = self._step
+                q.append((frames, fn(self.put(frames)), cap))
+                if len(q) >= depth:
+                    yield self._drain(*q.popleft(), min_neighbors)
+            while q:
                 yield self._drain(*q.popleft(), min_neighbors)
-        while q:
-            yield self._drain(*q.popleft(), min_neighbors)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+        ex = ThreadPoolExecutor(1)  # ONE worker: drains stay ordered and
+        try:                        # cap regrowth is serialized
+            for frames in batches:
+                fn, cap = self._step    # single read = consistent pair
+                dev = fn(self.put(frames))
+                q.append(ex.submit(self._drain, frames, dev, cap,
+                                   min_neighbors))
+                if len(q) >= depth:
+                    yield q.popleft().result()
+            while q:
+                yield q.popleft().result()
+        finally:
+            ex.shutdown(wait=False)
 
     def _drain(self, frames, dev, cap, min_neighbors):
         packed, n_surv = self._read_counts(dev)
@@ -283,6 +314,9 @@ class MultiCascadeBatchedDetector:
                 **kw))
         else:
             self._jit_step = jax.jit(step)
+        # single-attribute (program, caps) snapshot — same role as
+        # BatchedPyramidDetector._step (threaded-drain consistency)
+        self._step = (self._jit_step, self._caps())
 
     def put(self, frames: np.ndarray) -> jax.Array:
         frames = jnp.asarray(frames, jnp.uint8)
@@ -355,23 +389,41 @@ class MultiCascadeBatchedDetector:
                                 False) for _ in range(n)]
 
     def detect_stream(self, batches, min_neighbors: int = 3,
-                      depth: int = 2):
+                      depth: int = 2, threaded: bool = True):
         """Pipelined multi-cascade detection over [B, H, W] batches.
 
         Yields one ``results[k][b]`` per input batch, in order.  Caps in
         effect at enqueue time are recorded per cascade: a later batch's
         overflow may grow a cap mid-stream, and an in-flight batch
         computed at the old cap must be judged against that old cap
-        (otherwise silently truncated survivors would be accepted)."""
+        (otherwise silently truncated survivors would be accepted).
+        ``threaded`` drains on a worker thread exactly like
+        :meth:`BatchedPyramidDetector.detect_stream`."""
         from collections import deque
         q = deque()
-        for frames in batches:
-            q.append((frames, self.run_device(self.put(frames)),
-                      self._caps()))
-            if len(q) >= depth:
+        if not threaded:
+            for frames in batches:
+                fn, caps = self._step
+                q.append((frames, fn(self.put(frames)), caps))
+                if len(q) >= depth:
+                    yield self._drain(*q.popleft(), min_neighbors)
+            while q:
                 yield self._drain(*q.popleft(), min_neighbors)
-        while q:
-            yield self._drain(*q.popleft(), min_neighbors)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+        ex = ThreadPoolExecutor(1)
+        try:
+            for frames in batches:
+                fn, caps = self._step
+                dev = fn(self.put(frames))
+                q.append(ex.submit(self._drain, frames, dev, caps,
+                                   min_neighbors))
+                if len(q) >= depth:
+                    yield q.popleft().result()
+            while q:
+                yield q.popleft().result()
+        finally:
+            ex.shutdown(wait=False)
 
     def _drain(self, frames, dev, caps, min_neighbors):
         n = len(frames)

@@ -11,6 +11,7 @@ earlier truncated batch's overflow check pass vacuously).
 """
 
 import numpy as np
+import pytest
 
 from clfacedetection_tpu.models import load_cascade
 from clfacedetection_tpu.runtime import BatchedPyramidDetector
@@ -35,12 +36,13 @@ def _same(a, b):
             and a.survivor_overflow == b.survivor_overflow)
 
 
-def test_stream_matches_detect_in_order():
+@pytest.mark.parametrize("threaded", [True, False])
+def test_stream_matches_detect_in_order(threaded):
     spec = load_cascade("haarcascade_frontalface_default")
     batches = _batches(4)
     det = BatchedPyramidDetector(spec, SHAPE, 2, max_stages=5)
     streamed = list(det.detect_stream(iter(batches), min_neighbors=1,
-                                      depth=3))
+                                      depth=3, threaded=threaded))
     ref_det = BatchedPyramidDetector(spec, SHAPE, 2, max_stages=5)
     assert len(streamed) == len(batches)
     for k, frames in enumerate(batches):
@@ -49,7 +51,8 @@ def test_stream_matches_detect_in_order():
             assert _same(streamed[k][b], ref[b]), f"batch {k} frame {b}"
 
 
-def test_stream_cap_regrowth_mid_stream():
+@pytest.mark.parametrize("threaded", [True, False])
+def test_stream_cap_regrowth_mid_stream(threaded):
     """Batch 0 fits the tiny cap; batch 1 (textured scene) overflows it at
     enqueue time and must be re-run at the grown cap; batch 2 is enqueued
     after the growth.  All three must equal the reference results from a
@@ -63,7 +66,7 @@ def test_stream_cap_regrowth_mid_stream():
     det = BatchedPyramidDetector(spec, SHAPE, 2, max_stages=4,
                                  front_stages=2, cap=32)
     streamed = list(det.detect_stream(iter(batches), min_neighbors=0,
-                                      depth=2))
+                                      depth=2, threaded=threaded))
     assert det.det.cap > 32, "test scene never overflowed the tiny cap"
     assert not any(r.survivor_overflow for res in streamed for r in res)
 
