@@ -112,6 +112,31 @@ def _device_ms(det, frames, reps) -> float:
     return ((time.perf_counter() - t0) / (reps * len(frames))) * 1e3
 
 
+def _sweep_lists():
+    """(fronts, caps, capbs, batches) from env, validated 1:1.
+
+    The default triples: the round-4 saddle winner (front 10 /
+    cap 32768), its round-5 tight-cap refinement (cap 20480 with
+    compaction capb pinned at 8192 — the bench scene holds 8054 alive
+    128-blocks, so the cap//4 default would under-provision and
+    silently 4x-regrow; docs/PERF.md round-5 tail section), and the
+    low-survivor alternative (front 12 / cap 16384).  capb 0 = default.
+    """
+    fronts = [int(v) for v in
+              os.environ.get("CLFD_BENCH_FRONT", "10,10,12").split(",")]
+    caps = [int(v) for v in
+            os.environ.get("CLFD_BENCH_CAP", "20480,32768,16384").split(",")]
+    capbs = [int(v) for v in
+             os.environ.get("CLFD_BENCH_CAPB", "8192,0,0").split(",")]
+    if not (len(fronts) == len(caps) == len(capbs)):
+        raise ValueError(f"CLFD_BENCH_FRONT ({len(fronts)} values), "
+                         f"CLFD_BENCH_CAP ({len(caps)}) and "
+                         f"CLFD_BENCH_CAPB ({len(capbs)}) must pair 1:1")
+    batches = [int(v) for v in
+               os.environ.get("CLFD_BENCH_BATCHES", "8,16").split(",")]
+    return fronts, caps, capbs, batches
+
+
 def _precompile() -> None:
     """Warm the persistent compile cache for every swept config, then
     exit.  Run in a THROWAWAY subprocess: a big remote-compile RPC
@@ -129,20 +154,16 @@ def _precompile() -> None:
 
     spec = load_cascade("haarcascade_frontalface_alt")
     frame = photo_scene((1080, 1920))
-    fronts = [int(v) for v in
-              os.environ.get("CLFD_BENCH_FRONT", "10,12").split(",")]
-    caps = [int(v) for v in
-            os.environ.get("CLFD_BENCH_CAP", "32768,16384").split(",")]
-    batches = [int(v) for v in
-               os.environ.get("CLFD_BENCH_BATCHES", "8,16").split(",")]
-    for front, cap in zip(fronts, caps):
+    fronts, caps, capbs, batches = _sweep_lists()
+    for front, cap, capb in zip(fronts, caps, capbs):
         for batch in batches:
             try:
                 frames = np.broadcast_to(
                     frame, (batch,) + frame.shape).copy()
                 det = BatchedPyramidDetector(
                     spec, frame.shape, batch, min_size=(40, 40),
-                    front_stages=front, cap=cap)
+                    front_stages=front, cap=cap,
+                    compact_capb=capb or None)
                 det.detect(frames, min_neighbors=3)
                 print(f"# precompiled f{front}c{cap}b{batch}",
                       file=sys.stderr)
@@ -225,25 +246,16 @@ def main() -> None:
           f"{weather['h2d_mbps']} MB/s = {weather['h2d_ms_per_frame']} "
           f"ms/frame", file=sys.stderr)
 
-    # swept dimensions: batch size AND front-depth/cap pairs.  The
-    # round-4 saddle re-measurement (scripts/prof_r3.py at non-truncating
-    # caps) found front 10 / cap 32768 at 38.5 ms device vs front 12 /
-    # cap 16384 at 45.4
-    fronts = [int(v) for v in
-              os.environ.get("CLFD_BENCH_FRONT", "10,12").split(",")]
-    caps = [int(v) for v in
-            os.environ.get("CLFD_BENCH_CAP", "32768,16384").split(",")]
-    if len(fronts) != len(caps):
-        raise ValueError(f"CLFD_BENCH_FRONT ({len(fronts)} values) and "
-                         f"CLFD_BENCH_CAP ({len(caps)}) must pair up 1:1")
-    batches = [int(v) for v in
-               os.environ.get("CLFD_BENCH_BATCHES", "8,16").split(",")]
+    # swept dimensions: batch size AND front/cap/capb triples
+    # (_sweep_lists: the round-4 saddle winner, its round-5 tight-cap
+    # refinement, and the low-survivor front-12 alternative)
+    fronts, caps, capbs, batches = _sweep_lists()
     reps = max(1, int(os.environ.get("CLFD_BENCH_REPS", "10")))
     passes = max(1, int(os.environ.get("CLFD_BENCH_PASSES", "5")))
 
     best = None      # (model_ms, fps, batch, det, dev_ms, n_surv, front)
     table = {}
-    for front, cap in zip(fronts, caps):
+    for front, cap, capb in zip(fronts, caps, capbs):
      for batch in batches:
         # one failing config (OOM, tunnel hiccup mid-compile) must not
         # zero the headline: the remaining configs still score
@@ -251,7 +263,7 @@ def main() -> None:
             frames = np.broadcast_to(frame, (batch,) + frame.shape).copy()
             det = BatchedPyramidDetector(
                 spec, frame.shape, batch, min_size=(40, 40),
-                front_stages=front, cap=cap)
+                front_stages=front, cap=cap, compact_capb=capb or None)
             # warm-up: full path incl. potential cap regrowth
             res = det.detect(frames, min_neighbors=3)
             n_boxes = len(res[0].boxes)
@@ -276,23 +288,23 @@ def main() -> None:
             # H2D weather, whichever binds, plus the per-batch sync RTT
             model_ms = (max(dev_ms, weather["h2d_ms_per_frame"])
                         + weather["rtt_ms"] / batch)
-            table[f"f{front}b{batch}"] = {
+            table[f"f{front}c{cap // 1024}kb{batch}"] = {
                 "e2e_ms_best": round(dt * 1e3, 2),
                 "e2e_ms_median": round(e2e_med * 1e3, 2),
                 "device_ms": round(dev_ms, 2),
                 "model_ms": round(model_ms, 2),
                 "n_surv": n_surv}
-            print(f"# front={front} batch={batch}: e2e best {dt*1e3:.2f} "
-                  f"median {e2e_med*1e3:.2f} ms/frame = {fps:.1f} fps, "
-                  f"device {dev_ms:.2f}, model {model_ms:.2f} "
-                  f"({n_boxes} faces, {n_surv} survivors)",
+            print(f"# front={front} cap={cap} batch={batch}: e2e best "
+                  f"{dt*1e3:.2f} median {e2e_med*1e3:.2f} ms/frame = "
+                  f"{fps:.1f} fps, device {dev_ms:.2f}, model "
+                  f"{model_ms:.2f} ({n_boxes} faces, {n_surv} survivors)",
                   file=sys.stderr)
         except Exception as e:  # noqa: BLE001
-            print(f"# front={front} batch={batch}: FAILED "
+            print(f"# front={front} cap={cap} batch={batch}: FAILED "
                   f"({type(e).__name__}: {e})", file=sys.stderr)
             continue
         if best is None or model_ms < best[0]:
-            best = (model_ms, fps, batch, det, dev_ms, n_surv, front)
+            best = (model_ms, fps, batch, det, dev_ms, n_surv, front, cap)
 
     if best is None:
         print(json.dumps({
@@ -303,7 +315,7 @@ def main() -> None:
         }))
         return
 
-    model_ms, fps, batch, det, dev_ms, n_surv, front = best
+    model_ms, fps, batch, det, dev_ms, n_surv, front, cap = best
     fl = pipeline_flops(det.det, n_surv)
     mfu = fl["useful_flops"] / (dev_ms * 1e-3) / PEAK_FLOPS_BF16
     # schedule-independent scalar-early-exit floor, measured on this
@@ -363,6 +375,8 @@ def main() -> None:
         "vs_baseline": round(fps / BASELINE_FPS, 4),
         "batch": batch,
         "front_stages": front,
+        "cap": det.det.cap,
+        "compact_capb": det.det.compact_capb,
         "e2e_ms_per_frame": round(1e3 / fps, 2),
         "device_ms_per_frame": round(dev_ms, 2),
         "useful_gflops_per_frame": round(fl["useful_flops"] / 1e9, 3),

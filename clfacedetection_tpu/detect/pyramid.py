@@ -135,7 +135,7 @@ def _compact(flat_bool, cap):
     return out[:cap], n_true
 
 
-def _compact_hier(flat_bool, cap, blk=128):
+def _compact_hier(flat_bool, cap, blk=128, capb=None):
     """Two-level compaction: TPU scatters cost ~5 ns per *input* element,
     so shrink the scatter domain first.  Level 1 compacts the indices of
     1024-element blocks containing any survivor (scatter over n/1024);
@@ -152,7 +152,22 @@ def _compact_hier(flat_bool, cap, blk=128):
     nb = blocks.shape[0]
     blk_cnt = jnp.sum(blocks, axis=1, dtype=jnp.int32)
     n_true = jnp.sum(blk_cnt)
-    capb = min(nb, max(2048, cap // 4))
+    # capb bounds the ALIVE-BLOCK count, which tracks how survivors
+    # scatter over the canvas, not how many there are: the 1080p bench
+    # scene holds 8054 alive blocks for 18.4k survivors, so the cap//4
+    # default under-provisions at cap<=24576 and the resulting overflow
+    # silently 4x-regrows the cap (round-5 measurement — the regrown
+    # capb's level-2 scatter is where "smaller cap is 12 ms slower"
+    # came from).  Pass capb (PyramidDetector compact_capb, or the
+    # CLFD_COMPACT_CAPB env override) to pin it independently of cap:
+    # a tight cap with pinned capb drops dead tail-chunk grid steps
+    # (~5 us each) without touching compaction cost.
+    capb_env = os.environ.get("CLFD_COMPACT_CAPB")
+    if capb_env:
+        capb = int(capb_env)
+    elif capb is None:
+        capb = max(2048, cap // 4)
+    capb = min(nb, capb)
     blk_idx, n_blk = _compact(blk_cnt > 0, capb)      # scatter over nb only
     blk_c = jnp.where(blk_idx < nb, blk_idx, 0)
     sub = blocks[blk_c]                               # [capb, blk] row gather
@@ -328,7 +343,8 @@ class PyramidDetector:
                  max_stages: Optional[int] = None,
                  output_levels: bool = False,
                  use_pallas_front: Optional[bool] = None,
-                 strategy: Optional[str] = None):
+                 strategy: Optional[str] = None,
+                 compact_capb: Optional[int] = None):
         self.spec = spec
         self.H, self.W = int(image_shape[0]), int(image_shape[1])
         self.dtype = dtype
@@ -420,6 +436,7 @@ class PyramidDetector:
         if strategy not in (None, "per_stage", "block", "direct"):
             raise ValueError(f"unknown strategy {strategy!r}")
         self.strategy = strategy
+        self.compact_capb = compact_capb
         self.use_pallas_tail = (jax.default_backend() == "tpu"
                                 and dtype == jnp.float32
                                 and strategy != "direct"
@@ -1027,8 +1044,17 @@ class PyramidDetector:
 
     def _compact_device(self, front_flat):
         """Program 2: survivor compaction (hierarchical — TPU scatter cost
-        is ~5 ns per input element, so the domain shrinks block-first)."""
-        return _compact_hier(front_flat, self.cap)
+        is ~5 ns per input element, so the domain shrinks block-first).
+
+        ``compact_capb`` can only RAISE the alive-block bound above the
+        cap//4 default, never lower it: regrowth grows ``self.cap`` but
+        not the pin, so a pin that could undercut the default would
+        leave capb-overflow unhealable by the callers' cap-regrowth
+        loops (detect()/detect_stream)."""
+        capb = self.compact_capb
+        if capb is not None:
+            capb = max(capb, 2048, self.cap // 4)
+        return _compact_hier(front_flat, self.cap, capb=capb)
 
     def _tail_device(self, planes, vnf, surv_idx, n_surv):
         """Tail phase: patch extraction + MXU evaluation over compacted
@@ -1126,7 +1152,14 @@ class PyramidDetector:
             nb, _ = plan_bands(self.plan.canvas_h + 1)
         capp = self.cap + nb * self.tail_chunkk
         sub = batch
-        while sub > 1 and sub * capp * 4 > 900_000:
+        # the split bound doubles as a PERF knob: a launch whose slot
+        # table nears the 1MB SMEM limit runs ~25% slower than two
+        # half-size launches (round-5 measurement, docs/PERF.md tail
+        # section — cap 24576 batch 8 = one 798KB-table launch = 50.9
+        # ms/frame vs cap 32768's two 530KB launches = 38.6), so the
+        # default bound splits well before the hard SMEM ceiling
+        limit = int(os.environ.get("CLFD_TAIL_SUB_WORDS", "900000"))
+        while sub > 1 and sub * capp * 4 > limit:
             sub = -(-sub // 2)
         if sub < batch:
             outs = [self._tail_batch_kernel(

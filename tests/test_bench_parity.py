@@ -1,8 +1,9 @@
 """Parity pin for the EXACT benchmark configurations (VERDICT r3 Weak #5).
 
 bench.py's number is produced by the f32 Pallas pipeline (1080p photo
-scene, frontalface_alt, minSize 40x40) at the swept front/cap configs —
-front_stages=10/cap=32768 (the round-4 re-sweep winner and default) and
+scene, frontalface_alt, minSize 40x40) at the swept front/cap/capb
+configs — front_stages=10/cap=20480/capb=8192 (the round-5 tight-cap
+winner), front_stages=10/cap=32768 (the round-4 re-sweep winner) and
 front_stages=12/cap=16384; its correctness was previously only covered
 by a global "Jaccard > 0.98" README claim measured on other configs.  This TPU-only test runs the
 bench pipeline on the bench frame and compares against the f64 XLA
@@ -44,6 +45,7 @@ spec = load_cascade("haarcascade_frontalface_alt")
 frame = photo_scene((1080, 1920))
 det = PyramidDetector(spec, frame.shape, min_size=(40, 40),
                       front_stages=int(sys.argv[2]), cap=int(sys.argv[3]),
+                      compact_capb=int(sys.argv[4]) or None,
                       dtype=jnp.float64)
 cand, ovf = det.candidates(frame)
 assert not ovf
@@ -61,9 +63,11 @@ def _iou(a, b):
     return inter / union if union else 0.0
 
 
-@pytest.mark.parametrize("front,cap", [(10, 32768), (12, 16384)],
-                         ids=["f10c32k", "f12c16k"])
-def test_bench_config_f32_parity_vs_f64(tmp_path, front, cap):
+@pytest.mark.parametrize("front,cap,capb",
+                         [(10, 20480, 8192), (10, 32768, 0),
+                          (12, 16384, 0)],
+                         ids=["f10c20k", "f10c32k", "f12c16k"])
+def test_bench_config_f32_parity_vs_f64(tmp_path, front, cap, capb):
     from clfacedetection_tpu.detect.grouping import group_rectangles
     from clfacedetection_tpu.detect.pyramid import PyramidDetector
     from clfacedetection_tpu.models import load_cascade
@@ -72,7 +76,8 @@ def test_bench_config_f32_parity_vs_f64(tmp_path, front, cap):
     spec = load_cascade("haarcascade_frontalface_alt")
     frame = photo_scene((1080, 1920))
     det = PyramidDetector(spec, frame.shape, min_size=(40, 40),
-                          front_stages=front, cap=cap)
+                          front_stages=front, cap=cap,
+                          compact_capb=capb or None)
     assert det.use_pallas_front and det.use_pallas_tail2, \
         "not the bench pipeline"
     cand32, ovf = det.candidates(frame)
@@ -84,7 +89,7 @@ def test_bench_config_f32_parity_vs_f64(tmp_path, front, cap):
                    "PYTHONPATH", ""))
     env.pop("CLFD_TEST_TPU", None)
     subprocess.run([sys.executable, "-c", _F64_RUNNER, str(out),
-                    str(front), str(cap)],
+                    str(front), str(cap), str(capb)],
                    check=True, env=env, timeout=1800)
     cand64 = np.load(out)
 

@@ -45,6 +45,29 @@ def test_hier_matches_flat(seed, rate):
         assert n_true > cap or int(hn) > cap
 
 
+@pytest.mark.parametrize("seed,rate", [(0, 0.01), (1, 0.08)])
+def test_hier_pinned_capb_matches_default(seed, rate):
+    """compact_capb decouples the alive-block bound from cap (round 5:
+    the cap//4 default under-provisions scattered survivors and the
+    overflow silently 4x-regrows the cap — docs/PERF.md tail section).
+    A pinned capb that covers the alive blocks must be result-identical
+    to the default; one that does NOT must signal overflow (n > cap) so
+    the caller's regrowth fires rather than silently truncating."""
+    rng = np.random.default_rng(seed)
+    mask = rng.random(200_000) < rate
+    cap = 8192
+    di, dn = _compact_hier(jnp.asarray(mask), cap)
+    npad = -(-mask.size // 128) * 128
+    padded = np.concatenate([mask, np.zeros(npad - mask.size, bool)])
+    blocks = np.count_nonzero(padded.reshape(-1, 128).any(axis=1))
+    pi, pn = _compact_hier(jnp.asarray(mask), cap, capb=blocks)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(di))
+    assert int(pn) == int(dn)
+    if blocks > 1:
+        _, on = _compact_hier(jnp.asarray(mask), cap, capb=blocks - 1)
+        assert int(on) > cap
+
+
 def test_hier_empty_and_full():
     mask = np.zeros(10_000, bool)
     idx, n = _compact_hier(jnp.asarray(mask), 128)
