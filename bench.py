@@ -157,6 +157,19 @@ def _select(rows):
                key=lambda r: r[1])
 
 
+def _vga_batch(name: str, vbatch: int) -> int:
+    """Per-cascade VGA batch cap.  frontalface_default's full-depth VGA
+    program needs 23.20 GB HBM at batch 16 (compile-time OOM vs the
+    chip's 15.75 GB — measured round 5, compile-service log): its front
+    stages carry ~2x the stump count of frontalface_alt's, so its dense
+    node maps are proportionally larger.  Batch 8 fits with ~4 GB of
+    headroom (measured).  Must be identical in _precompile and the
+    timing loop so the timing process only ever cache-hits."""
+    if name == "haarcascade_frontalface_default":
+        return min(vbatch, 8)
+    return vbatch
+
+
 def _precompile() -> None:
     """Warm the persistent compile cache for every swept config, then
     exit.  Run in a THROWAWAY subprocess: a big remote-compile RPC
@@ -203,13 +216,14 @@ def _precompile() -> None:
     vbatch = int(os.environ.get("CLFD_BENCH_VGA_BATCH", "16"))
     for name in ("haarcascade_frontalface_default",
                  "haarcascade_frontalface_alt"):
+        vb = _vga_batch(name, vbatch)
         try:
             vdet = BatchedPyramidDetector(load_cascade(name), vga.shape,
-                                          vbatch, min_size=(40, 40))
+                                          vb, min_size=(40, 40))
             vdet.detect(
-                np.broadcast_to(vga, (vbatch,) + vga.shape).copy(),
+                np.broadcast_to(vga, (vb,) + vga.shape).copy(),
                 min_neighbors=3)
-            print(f"# precompiled VGA {name}", file=sys.stderr)
+            print(f"# precompiled VGA {name} b{vb}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# precompile VGA {name} failed: {e}", file=sys.stderr)
 
@@ -363,10 +377,11 @@ def main() -> None:
     for name in ("haarcascade_frontalface_default",
                  "haarcascade_frontalface_alt"):
         key = name.replace("haarcascade_frontalface_", "")
+        vb = _vga_batch(name, vbatch)
         try:
             vspec = load_cascade(name)
-            vframes = np.broadcast_to(vga, (vbatch,) + vga.shape).copy()
-            vdet = BatchedPyramidDetector(vspec, vga.shape, vbatch,
+            vframes = np.broadcast_to(vga, (vb,) + vga.shape).copy()
+            vdet = BatchedPyramidDetector(vspec, vga.shape, vb,
                                           min_size=(40, 40))
             vdet.detect(vframes, min_neighbors=3)
             vdev = _device_ms(vdet, vframes, reps)
@@ -377,14 +392,15 @@ def main() -> None:
                         (vframes for _ in range(reps)),
                         min_neighbors=3, depth=3):
                     pass
-                ve2es.append((time.perf_counter() - t0) / (reps * vbatch))
+                ve2es.append((time.perf_counter() - t0) / (reps * vb))
             vga_table[key] = {
                 "e2e_ms_best": round(min(ve2es) * 1e3, 2),
                 "e2e_fps": round(1.0 / min(ve2es), 1),
                 "device_ms": round(vdev, 2),
-                "device_fps": round(1e3 / vdev, 1)}
-            print(f"# VGA {key}: e2e {min(ve2es)*1e3:.2f} ms/frame = "
-                  f"{1/min(ve2es):.1f} fps, device {vdev:.2f} ms",
+                "device_fps": round(1e3 / vdev, 1),
+                "batch": vb}
+            print(f"# VGA {key} (batch {vb}): e2e {min(ve2es)*1e3:.2f} "
+                  f"ms/frame = {1/min(ve2es):.1f} fps, device {vdev:.2f} ms",
                   file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# VGA {key} failed: {type(e).__name__}: {e}",
